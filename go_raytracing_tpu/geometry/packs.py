@@ -1,0 +1,385 @@
+"""Structure-of-arrays primitive tables and megabatch intersection.
+
+The reference dispatches intersections through a ``Hittable`` interface
+(rt/hittable.go:15-18) — one virtual call per ray per object.  On TPU the
+idiomatic formulation is *tables*: each primitive kind is a dense SoA pack,
+and intersection is computed for a whole ray megabatch against a whole pack
+at once.  The ray-pair dot products (``d·c``, ``o·c`` ...) are written as
+``[R,3] x [3,N]`` contractions so XLA can place them on the MXU; the
+remaining per-pair arithmetic is a short fused VPU chain followed by a
+min-reduction over the primitive axis.
+
+For scenes up to a few thousand primitives this brute-force megabatch is
+*faster* on TPU than any pointer-chasing BVH (no gathers, no divergence);
+the reference's BVH (rt/bvh.go) exists to fix exactly the CPU problem TPUs
+do not have at this scale.  Large triangle meshes do need hierarchy and get
+a separate two-level path (geometry/bvh.py).
+
+Primitive parity map (reference -> pack):
+  - Sphere / moving sphere  (rt/sphere.go)          -> SpherePack
+  - Quad, Triangle, Circle, Plane (rt/quad.go,
+    rt/triangle.go, rt/circle.go, rt/plane.go)      -> PlanarPack (unified
+    plane-hit + kind-specific interior test)
+  - Box / Pyramid (rt/primitives.go)                -> builder sugar emitting
+    quads/triangles into PlanarPack
+  - Translate/Rotate/Scale wrappers (rt/transform.go) -> affine transforms
+    baked into vertices at build time (exact for planar primitives)
+  - Volume (rt/volume.go)                           -> VolumePack (OBB media)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import vec
+
+# Planar primitive kinds
+KIND_QUAD = 0
+KIND_TRI = 1
+KIND_CIRCLE = 2
+KIND_PLANE = 3
+
+BIG = jnp.float32(3.0e38)
+
+
+class SpherePack(NamedTuple):
+    """Static and moving spheres. ``center`` is the t=0 position and
+    ``velocity`` the per-unit-time displacement (rt/sphere.go:49-51)."""
+
+    center: jnp.ndarray    # [N, 3] f32
+    velocity: jnp.ndarray  # [N, 3] f32
+    radius: jnp.ndarray    # [N]    f32
+    mat: jnp.ndarray       # [N]    i32
+
+
+class PlanarPack(NamedTuple):
+    """Quads, triangles, circles and infinite planes in one table.
+
+    Field use per kind:
+      quad:     q=Q, u, v = edge vectors; w = n/|n|^2 (rt/quad.go:16-33)
+      triangle: q=v0, u=edge1, v=edge2; interior via barycentrics
+                (algebraically identical to Moller-Trumbore, rt/triangle.go:57-104)
+      circle:   q=center, radius; local frame from normal (rt/circle.go:58-71)
+      plane:    q=point (rt/plane.go)
+    """
+
+    q: jnp.ndarray       # [N, 3]
+    u: jnp.ndarray       # [N, 3]
+    v: jnp.ndarray       # [N, 3]
+    normal: jnp.ndarray  # [N, 3] unit
+    w: jnp.ndarray       # [N, 3]
+    d: jnp.ndarray       # [N] plane constant dot(normal, q)
+    radius: jnp.ndarray  # [N] circle radius (0 otherwise)
+    kind: jnp.ndarray    # [N] i32
+    mat: jnp.ndarray     # [N] i32
+
+
+class VolumePack(NamedTuple):
+    """Constant-density media bounded by (possibly transformed) boxes.
+
+    The reference wraps an arbitrary ``Hittable`` boundary (rt/volume.go:34)
+    but every scene uses axis-aligned or Y-rotated boxes; we represent the
+    boundary as an oriented box: rays are mapped to local space by a 3x4
+    affine ``world_to_local`` and slab-tested against [box_min, box_max].
+    """
+
+    world_to_local: jnp.ndarray  # [N, 3, 4]
+    box_min: jnp.ndarray         # [N, 3]
+    box_max: jnp.ndarray         # [N, 3]
+    neg_inv_density: jnp.ndarray  # [N] = -1/rho (rt/volume.go:17)
+    mat: jnp.ndarray             # [N] i32 (isotropic phase material)
+
+
+def empty_spheres():
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    z = jnp.zeros((0,), jnp.float32)
+    return SpherePack(z3, z3, z, jnp.zeros((0,), jnp.int32))
+
+
+def empty_planar():
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    z = jnp.zeros((0,), jnp.float32)
+    zi = jnp.zeros((0,), jnp.int32)
+    return PlanarPack(z3, z3, z3, z3, z3, z, z, zi, zi)
+
+
+def empty_volumes():
+    return VolumePack(
+        jnp.zeros((0, 3, 4), jnp.float32),
+        jnp.zeros((0, 3), jnp.float32),
+        jnp.zeros((0, 3), jnp.float32),
+        jnp.zeros((0,), jnp.float32),
+        jnp.zeros((0,), jnp.int32),
+    )
+
+
+# -----------------------------------------------------------------------------
+# Sphere intersection (rt/sphere.go:63-94, half-b quadratic formulation)
+# -----------------------------------------------------------------------------
+
+def intersect_spheres(pack: SpherePack, o, d, tm, t_min, t_max):
+    """Closest sphere hit per ray.
+
+    o, d: [R, 3]; tm: [R] ray times; t_min scalar; t_max: [R].
+    Returns (t [R], idx [R], hit [R] bool). Expanded so every ray-pair dot
+    product is an [R,3]x[3,N] contraction (MXU) — with moving spheres,
+      h      = d.c0 + tm * d.vel - d.o
+      c_term = |c0|^2 + 2 tm c0.vel + tm^2 |vel|^2
+               - 2 o.c0 - 2 tm o.vel + |o|^2 - r^2.
+    """
+    n = pack.radius.shape[0]
+    if n == 0:
+        r_ = o.shape[0]
+        return jnp.full((r_,), BIG), jnp.zeros((r_,), jnp.int32), jnp.zeros((r_,), bool)
+
+    c0, vel, rad = pack.center, pack.velocity, pack.radius
+    f32 = jnp.float32
+    # Per-primitive scalars [N]
+    c0c0 = jnp.sum(c0 * c0, axis=-1)
+    c0v = jnp.sum(c0 * vel, axis=-1)
+    vv = jnp.sum(vel * vel, axis=-1)
+    r2 = rad * rad
+    # Per-ray scalars [R]
+    do_ = vec.dot(d, o)
+    oo = vec.dot(o, o)
+    a = vec.dot(d, d)
+    # Cross terms [R, N] — MXU contractions
+    d_c0 = jnp.einsum("rc,nc->rn", d, c0, preferred_element_type=f32)
+    d_v = jnp.einsum("rc,nc->rn", d, vel, preferred_element_type=f32)
+    o_c0 = jnp.einsum("rc,nc->rn", o, c0, preferred_element_type=f32)
+    o_v = jnp.einsum("rc,nc->rn", o, vel, preferred_element_type=f32)
+
+    tmc = tm[:, None]
+    h = d_c0 + tmc * d_v - do_[:, None]
+    c_term = (
+        c0c0[None, :]
+        + 2.0 * tmc * c0v[None, :]
+        + (tmc * tmc) * vv[None, :]
+        - 2.0 * o_c0
+        - 2.0 * tmc * o_v
+        + oo[:, None]
+        - r2[None, :]
+    )
+    ac = a[:, None]
+    disc = h * h - ac * c_term
+    has_root = disc >= 0.0
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / ac
+    root0 = (h - sqrtd) * inv_a
+    root1 = (h + sqrtd) * inv_a
+    tmaxc = t_max[:, None]
+    # Surrounds(): strict inequalities (rt/interval.go:65-67)
+    ok0 = (root0 > t_min) & (root0 < tmaxc)
+    ok1 = (root1 > t_min) & (root1 < tmaxc)
+    root = jnp.where(ok0, root0, root1)
+    valid = has_root & (ok0 | ok1)
+    t_pair = jnp.where(valid, root, BIG)
+
+    # Numerical refinement: the expanded pair form above trades precision
+    # for MXU throughput (|o|^2 - 2 o.c + |c|^2 cancels catastrophically in
+    # f32 when the scene is far from the origin), so near-tangent pairs can
+    # produce false hits/misses.  Recompute the candidate's quadratic per
+    # ray in the stable oc = c - o form (rt/sphere.go:63-94) — O(R) work
+    # after the O(R*N) search — for the top-2 candidates, falling back to
+    # the runner-up when the winner was a tangent false positive.
+    def refine(cand_idx):
+        center = pack.center[cand_idx] + tm[:, None] * pack.velocity[cand_idx]
+        rad = pack.radius[cand_idx]
+        oc = center - o
+        h2 = vec.dot(d, oc)
+        c2 = vec.dot(oc, oc) - rad * rad
+        disc2 = h2 * h2 - a * c2
+        sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+        r0 = (h2 - sq2) / a
+        r1 = (h2 + sq2) / a
+        ok0 = (r0 > t_min) & (r0 < t_max)
+        ok1 = (r1 > t_min) & (r1 < t_max)
+        t_ref = jnp.where(ok0, r0, r1)
+        ok = (disc2 >= 0.0) & (ok0 | ok1)
+        return jnp.where(ok, t_ref, BIG), ok
+
+    idx1 = jnp.argmin(t_pair, axis=-1).astype(jnp.int32)
+    had1 = jnp.take_along_axis(t_pair, idx1[:, None], axis=-1)[:, 0] < BIG
+    t_pair2 = jnp.where(
+        jax.nn.one_hot(idx1, n, dtype=bool), BIG, t_pair
+    )
+    idx2 = jnp.argmin(t_pair2, axis=-1).astype(jnp.int32)
+    had2 = jnp.take_along_axis(t_pair2, idx2[:, None], axis=-1)[:, 0] < BIG
+
+    t1, ok1_ = refine(idx1)
+    t2, ok2_ = refine(idx2)
+    use2 = (~(had1 & ok1_)) & had2 & ok2_
+    idx = jnp.where(use2, idx2, idx1)
+    hit = (had1 & ok1_) | use2
+    t_best = jnp.where(use2, t2, jnp.where(had1 & ok1_, t1, BIG))
+    return t_best, idx, hit
+
+
+def sphere_hit_record(pack: SpherePack, idx, o, d, tm, t):
+    """Normal / UV / material for the winning sphere per ray.
+
+    UV matches getSphereUV (rt/sphere.go:53-59): theta = acos(-y),
+    phi = atan2(-z, x) + pi.
+    """
+    c0 = pack.center[idx]
+    vel = pack.velocity[idx]
+    rad = pack.radius[idx]
+    center = c0 + tm[:, None] * vel
+    p = vec.ray_at(o, d, t)
+    outward = (p - center) / rad[:, None]
+    front = vec.dot(d, outward) < 0.0
+    normal = jnp.where(front[:, None], outward, -outward)
+    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + np.pi
+    uu = phi / (2.0 * np.pi)
+    vv = theta / np.pi
+    return p, normal, front, uu, vv, pack.mat[idx]
+
+
+# -----------------------------------------------------------------------------
+# Planar intersection (quad/tri/circle/plane unified)
+# -----------------------------------------------------------------------------
+
+def intersect_planar(pack: PlanarPack, o, d, t_min, t_max):
+    """Closest planar-primitive hit per ray. Returns (t, idx, hit)."""
+    n = pack.d.shape[0]
+    if n == 0:
+        r_ = o.shape[0]
+        return jnp.full((r_,), BIG), jnp.zeros((r_,), jnp.int32), jnp.zeros((r_,), bool)
+
+    f32 = jnp.float32
+    nrm = pack.normal
+    denom = jnp.einsum("rc,nc->rn", d, nrm, preferred_element_type=f32)  # [R,N]
+    n_dot_o = jnp.einsum("rc,nc->rn", o, nrm, preferred_element_type=f32)
+    not_parallel = jnp.abs(denom) >= vec.EPS_PARALLEL
+    t = (pack.d[None, :] - n_dot_o) / jnp.where(not_parallel, denom, 1.0)
+
+    tmaxc = t_max[:, None]
+    is_plane = (pack.kind == KIND_PLANE)[None, :]
+    # plane: Surrounds (strict, rt/plane.go:33); others: Contains (rt/quad.go:53)
+    t_ok = jnp.where(
+        is_plane,
+        (t > t_min) & (t < tmaxc),
+        (t >= t_min) & (t <= tmaxc),
+    )
+
+    # Hit point relative to anchor, per pair: [R, N, 3]
+    p = o[:, None, :] + t[..., None] * d[:, None, :]
+    rel = p - pack.q[None, :, :]
+
+    # Quad/tri barycentric coords via w = n/|n|^2 (rt/quad.go:57-60)
+    alpha = vec.dot(pack.w[None, :, :], jnp.cross(rel, pack.v[None, :, :]))
+    beta = vec.dot(pack.w[None, :, :], jnp.cross(pack.u[None, :, :], rel))
+
+    kind = pack.kind[None, :]
+    in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+    in_tri = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (alpha + beta <= 1.0)
+    dist2 = jnp.sum(rel * rel, axis=-1)
+    in_circle = dist2 <= (pack.radius * pack.radius)[None, :]
+    interior = jnp.where(
+        kind == KIND_QUAD,
+        in_quad,
+        jnp.where(
+            kind == KIND_TRI, in_tri, jnp.where(kind == KIND_CIRCLE, in_circle, True)
+        ),
+    )
+
+    valid = not_parallel & t_ok & interior
+    t_pair = jnp.where(valid, t, BIG)
+    idx = jnp.argmin(t_pair, axis=-1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(t_pair, idx[:, None], axis=-1)[:, 0]
+    return t_best, idx, t_best < BIG
+
+
+def planar_hit_record(pack: PlanarPack, idx, o, d, t):
+    """Normal / UV / material for the winning planar primitive per ray."""
+    q = pack.q[idx]
+    u_e = pack.u[idx]
+    v_e = pack.v[idx]
+    nrm = pack.normal[idx]
+    w = pack.w[idx]
+    rad = pack.radius[idx]
+    kind = pack.kind[idx]
+
+    p = vec.ray_at(o, d, t)
+    rel = p - q
+    alpha = vec.dot(w, jnp.cross(rel, v_e))
+    beta = vec.dot(w, jnp.cross(u_e, rel))
+
+    # Circle UV: local frame from the normal (rt/circle.go:58-71)
+    use_x = jnp.abs(nrm[:, 1]) > 0.9
+    ref_axis = jnp.where(
+        use_x[:, None],
+        jnp.array([1.0, 0.0, 0.0], jnp.float32)[None, :],
+        jnp.array([0.0, 1.0, 0.0], jnp.float32)[None, :],
+    )
+    cu = vec.unit(jnp.cross(ref_axis, nrm))
+    cv = jnp.cross(nrm, cu)
+    safe_rad = jnp.where(rad > 0, rad, 1.0)
+    cx = vec.dot(rel, cu) / safe_rad
+    cy = vec.dot(rel, cv) / safe_rad
+    circ_u = (cx + 1.0) * 0.5
+    circ_v = (cy + 1.0) * 0.5
+
+    uu = jnp.where(kind == KIND_CIRCLE, circ_u, jnp.where(kind == KIND_PLANE, 0.0, alpha))
+    vv = jnp.where(kind == KIND_CIRCLE, circ_v, jnp.where(kind == KIND_PLANE, 0.0, beta))
+
+    front = vec.dot(d, nrm) < 0.0
+    normal = jnp.where(front[:, None], nrm, -nrm)
+    return p, normal, front, uu, vv, pack.mat[idx]
+
+
+# -----------------------------------------------------------------------------
+# Volume (constant-density medium) sampling  (rt/volume.go:34-79)
+# -----------------------------------------------------------------------------
+
+def sample_volumes(pack: VolumePack, o, d, t_min, t_surface, u_flight):
+    """Stochastic media interaction against every volume.
+
+    For each ray: slab-test the oriented box to get [t0, t1], clamp to
+    [t_min, t_surface], draw the exponential free-flight distance
+    ``-1/rho * log(u)`` and accept if it fits inside (rt/volume.go:60-70).
+    Among accepted volumes the smallest scatter t wins.
+
+    u_flight: [R, N] uniforms (one per ray x volume).
+    Returns (t_vol [R], vol_idx [R], vol_hit [R]).
+    """
+    n = pack.neg_inv_density.shape[0]
+    r_ = o.shape[0]
+    if n == 0:
+        return jnp.full((r_,), BIG), jnp.zeros((r_,), jnp.int32), jnp.zeros((r_,), bool)
+
+    m = pack.world_to_local  # [N, 3, 4]
+    rot = m[:, :, :3]
+    trn = m[:, :, 3]
+    # Local-space rays, per pair: [R, N, 3]
+    o_l = jnp.einsum("nij,rj->rni", rot, o) + trn[None, :, :]
+    d_l = jnp.einsum("nij,rj->rni", rot, d)
+
+    safe_d = jnp.where(jnp.abs(d_l) < 1e-12, jnp.where(d_l < 0, -1e-12, 1e-12), d_l)
+    inv_d = 1.0 / safe_d
+    ta = (pack.box_min[None] - o_l) * inv_d
+    tb = (pack.box_max[None] - o_l) * inv_d
+    t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    crosses = t1 > t0
+
+    t0c = jnp.maximum(t0, t_min)           # rec1.T clamp (rt/volume.go:50-52)
+    t1c = jnp.minimum(t1, t_surface[:, None])
+    inside = crosses & (t0c < t1c)
+
+    ray_len = vec.length(d)[:, None]
+    dist_inside = (t1c - t0c) * ray_len
+    log_u = jnp.log(jnp.maximum(u_flight, 1e-38))
+    hit_dist = pack.neg_inv_density[None, :] * log_u
+    accept = inside & (hit_dist <= dist_inside)
+    t_scatter = t0c + hit_dist / ray_len
+    t_pair = jnp.where(accept, t_scatter, BIG)
+
+    idx = jnp.argmin(t_pair, axis=-1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(t_pair, idx[:, None], axis=-1)[:, 0]
+    return t_best, idx, t_best < BIG

@@ -1,0 +1,181 @@
+"""Material tables and branchless scatter evaluation.
+
+The reference's ``Material`` interface with dynamic dispatch
+(rt/material.go:9-27) becomes a dense parameter table plus a masked-select
+scatter kernel evaluated for the whole ray wavefront at once.
+
+Kinds and parity:
+  - LAMBERTIAN: scatter = normal + random_unit (NOT normalized), near-zero
+    fallback to the normal (rt/material.go:57-68); pdf = cos/pi
+    (rt/material.go:70-76); CanUseNEE = true (rt/material.go:49-55).
+  - METAL: reflect + fuzz * random_unit; absorbed when the fuzzed direction
+    dips below the surface (rt/material.go:113-119); Phong-like pdf with
+    exponent (1-fuzz)*50 (rt/material.go:121-136); **CanUseNEE = false
+    always** — deliberate, NEE washes out the metallic look
+    (rt/material.go:101-111).
+  - DIELECTRIC: Snell + total internal reflection + Schlick-probabilistic
+    reflection (rt/material.go:164-188, reflectance rt/material.go:284-288);
+    attenuation = 1; IOR inverted on back faces.
+  - DIFFUSE_LIGHT: emissive only, never scatters (rt/material.go:226-236).
+  - ISOTROPIC: uniform-sphere scatter, pdf = 1/4pi (rt/material.go:266-274).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import vec, rng as rngmod
+from . import textures as tex
+
+MAT_LAMBERTIAN = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_DIFFUSE_LIGHT = 3
+MAT_ISOTROPIC = 4
+
+
+class MaterialPack(NamedTuple):
+    kind: jnp.ndarray  # [M] i32
+    tex: jnp.ndarray   # [M] i32 albedo/emission texture id
+    fuzz: jnp.ndarray  # [M] f32 (metal)
+    ior: jnp.ndarray   # [M] f32 (dielectric)
+
+
+class ScatterResult(NamedTuple):
+    direction: jnp.ndarray    # [R, 3] new ray direction (unnormalized, as reference)
+    attenuation: jnp.ndarray  # [R, 3]
+    emitted: jnp.ndarray      # [R, 3]
+    scattered: jnp.ndarray    # [R] bool — False for lights and absorbed metal rays
+    can_use_nee: jnp.ndarray  # [R] bool — Lambertian only
+
+
+def can_use_nee_table(pack: MaterialPack):
+    return pack.kind == MAT_LAMBERTIAN
+
+
+def emitted(pack: MaterialPack, tpack: tex.TexturePack, mat_id, u, v, p, **tex_flags):
+    """Emission per ray: nonzero only for DIFFUSE_LIGHT (value = its texture)."""
+    is_light = pack.kind[mat_id] == MAT_DIFFUSE_LIGHT
+    val = tex.evaluate(tpack, pack.tex[mat_id], u, v, p, **tex_flags)
+    return jnp.where(is_light[:, None], val, 0.0)
+
+
+def scatter(
+    pack: MaterialPack,
+    tpack: tex.TexturePack,
+    mat_id,
+    ray_d,
+    normal,
+    front_face,
+    u,
+    v,
+    p,
+    seed,
+    stream,
+    bounce,
+    **tex_flags,
+):
+    """Branchless scatter for the whole wavefront.
+
+    ray_d: incoming direction [R,3] (unnormalized); normal: facing normal;
+    Returns ScatterResult.  Uses RNG purposes SCATTER_U/SCATTER_V (unit
+    vector) and FRESNEL (dielectric reflect/refract coin).
+    """
+    kind = pack.kind[mat_id]
+    fuzz = pack.fuzz[mat_id]
+    ior = pack.ior[mat_id]
+
+    su1, su2, _ = rngmod.uniform3(seed, stream, bounce, rngmod.SCATTER_U)
+    rand_unit = rngmod.unit_vector_from_uniforms(su1, su2)
+    u_fresnel = rngmod.uniform(seed, stream, bounce, rngmod.FRESNEL)
+
+    albedo = tex.evaluate(tpack, pack.tex[mat_id], u, v, p, **tex_flags)
+
+    # --- Lambertian ---------------------------------------------------------
+    lam_dir = normal + rand_unit
+    lam_dir = jnp.where(vec.near_zero(lam_dir)[:, None], normal, lam_dir)
+
+    # --- Metal --------------------------------------------------------------
+    reflected = vec.unit(vec.reflect(ray_d, normal)) + fuzz[:, None] * rand_unit
+    metal_ok = vec.dot(reflected, normal) > 0.0
+
+    # --- Dielectric ---------------------------------------------------------
+    ri = jnp.where(front_face, 1.0 / ior, ior)
+    unit_d = vec.unit(ray_d)
+    cos_theta = jnp.minimum(vec.dot(-unit_d, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = ri * sin_theta > 1.0
+    r0 = (1.0 - ri) / (1.0 + ri)
+    r0 = r0 * r0
+    schlick = r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cos_theta, 0.0), 5.0)
+    do_reflect = cannot_refract | (schlick > u_fresnel)
+    refr = vec.refract(unit_d, normal, ri)
+    refl = vec.reflect(unit_d, normal)
+    diel_dir = jnp.where(do_reflect[:, None], refl, refr)
+
+    # --- Select by kind -----------------------------------------------------
+    k = kind[:, None]
+    direction = jnp.where(
+        k == MAT_LAMBERTIAN,
+        lam_dir,
+        jnp.where(
+            k == MAT_METAL,
+            reflected,
+            jnp.where(k == MAT_DIELECTRIC, diel_dir, rand_unit),  # isotropic
+        ),
+    )
+    attenuation = jnp.where(
+        k == MAT_DIELECTRIC,
+        jnp.ones_like(albedo),
+        albedo,
+    )
+    scattered = jnp.where(
+        kind == MAT_DIFFUSE_LIGHT,
+        False,
+        jnp.where(kind == MAT_METAL, metal_ok, True),
+    )
+    emitted_col = jnp.where((kind == MAT_DIFFUSE_LIGHT)[:, None], albedo, 0.0)
+    return ScatterResult(
+        direction=direction,
+        attenuation=attenuation,
+        emitted=emitted_col,
+        scattered=scattered,
+        can_use_nee=kind == MAT_LAMBERTIAN,
+    )
+
+
+def brdf_pdf(pack: MaterialPack, mat_id, wi, wo, normal):
+    """PDF(wi, wo, n) for the MIS weight (PDFEvaluator, rt/material.go:15-17).
+
+    wi: unit vector toward the viewer (-ray_dir), wo: light direction.
+    Lambertian: max(cos,0)/pi.  Metal: Phong lobe with exponent (1-fuzz)*50,
+    0 when fuzz == 0.  Dielectric/light: 0 (delta).  Isotropic: 1/4pi.
+    """
+    kind = pack.kind[mat_id]
+    fuzz = pack.fuzz[mat_id]
+
+    cos_theta = vec.dot(normal, wo)
+    lam_pdf = jnp.maximum(cos_theta, 0.0) / np.pi
+
+    refl = vec.reflect(-wi, normal)
+    cos_alpha = vec.dot(refl, wo)
+    exponent = (1.0 - fuzz) * 50.0
+    phong = (exponent + 1.0) / (2.0 * np.pi) * jnp.power(
+        jnp.maximum(cos_alpha, 1e-20), exponent
+    )
+    metal_pdf = jnp.where((fuzz == 0.0) | (cos_alpha < 0.0), 0.0, phong)
+
+    iso_pdf = jnp.full_like(lam_pdf, 1.0 / (4.0 * np.pi))
+
+    return jnp.where(
+        kind == MAT_LAMBERTIAN,
+        lam_pdf,
+        jnp.where(
+            kind == MAT_METAL,
+            metal_pdf,
+            jnp.where(kind == MAT_ISOTROPIC, iso_pdf, 0.0),
+        ),
+    )

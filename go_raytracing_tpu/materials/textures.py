@@ -1,0 +1,142 @@
+"""Texture tables: solid / checker / Perlin-marble / image.
+
+The reference's ``Texture`` interface (rt/texture.go:5-7) becomes a dense
+SoA pack evaluated branchlessly for a whole ray batch.  Image textures live
+in a single padded atlas ``[n_images, Hmax, Wmax, 3]`` so lookup is one
+gather regardless of how many images a scene uses.
+
+Behavioral parity notes:
+  - Checker: 3D lattice parity of floor(p/scale + 1e-4) (rt/texture.go:63-77).
+  - Perlin "marble": 0.5*(1+sin(scale*z + 10*turb(p*scale, 7)))
+    (rt/texture.go:81-85).  The reference's Perlin uses *plain trilinear*
+    interpolation of gradient dots (no Hermite smoothing, rt/noise.go:75-92)
+    and gradient vectors that are normalized cube samples (rt/noise.go:19)
+    — both quirks reproduced.
+  - Image: nearest texel, v flipped, clamp addressing
+    (rt/image_texture.go:26-41).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import vec
+
+TEX_SOLID = 0
+TEX_CHECKER = 1
+TEX_NOISE = 2
+TEX_IMAGE = 3
+
+
+class PerlinTables(NamedTuple):
+    randvec: jnp.ndarray  # [256, 3] normalized cube samples
+    perm_x: jnp.ndarray   # [256] i32
+    perm_y: jnp.ndarray   # [256] i32
+    perm_z: jnp.ndarray   # [256] i32
+
+
+class TexturePack(NamedTuple):
+    kind: jnp.ndarray        # [T] i32
+    color: jnp.ndarray       # [T, 3] solid color
+    even_color: jnp.ndarray  # [T, 3] checker even
+    odd_color: jnp.ndarray   # [T, 3] checker odd
+    inv_scale: jnp.ndarray   # [T] checker 1/scale
+    noise_scale: jnp.ndarray  # [T]
+    image_id: jnp.ndarray    # [T] i32 index into atlas
+    perlin: PerlinTables
+    atlas: jnp.ndarray       # [I, Hmax, Wmax, 3] f32 (I >= 1; dummy if unused)
+    atlas_wh: jnp.ndarray    # [I, 2] i32 (width, height) of each image
+
+
+def make_perlin_tables(seed: int = 0) -> PerlinTables:
+    """Host-side table build mirroring NewPerlin (rt/noise.go:15-27):
+    256 gradients = normalized uniform cube samples, 3 permutations."""
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(-1.0, 1.0, size=(256, 3))
+    g = g / np.linalg.norm(g, axis=-1, keepdims=True)
+    perms = [rng.permutation(256).astype(np.int32) for _ in range(3)]
+    return PerlinTables(
+        jnp.asarray(g, jnp.float32),
+        jnp.asarray(perms[0]),
+        jnp.asarray(perms[1]),
+        jnp.asarray(perms[2]),
+    )
+
+
+def perlin_noise(tables: PerlinTables, p):
+    """Gradient noise in [-1, 1]-ish for points p [R, 3] (rt/noise.go:29-56).
+
+    Plain trilinear interpolation of corner-gradient dot products — the
+    reference deliberately(?) omits Hermite smoothing; we match it.
+    """
+    pf = jnp.floor(p)
+    uvw = p - pf
+    ijk = pf.astype(jnp.int32)
+
+    accum = jnp.zeros(p.shape[:-1], p.dtype)
+    for di in range(2):
+        for dj in range(2):
+            for dk in range(2):
+                hx = tables.perm_x[(ijk[..., 0] + di) & 255]
+                hy = tables.perm_y[(ijk[..., 1] + dj) & 255]
+                hz = tables.perm_z[(ijk[..., 2] + dk) & 255]
+                grad = tables.randvec[hx ^ hy ^ hz]
+                weight_v = uvw - jnp.array([di, dj, dk], p.dtype)
+                wu = di * uvw[..., 0] + (1 - di) * (1.0 - uvw[..., 0])
+                wv = dj * uvw[..., 1] + (1 - dj) * (1.0 - uvw[..., 1])
+                ww = dk * uvw[..., 2] + (1 - dk) * (1.0 - uvw[..., 2])
+                accum = accum + wu * wv * ww * vec.dot(grad, weight_v)
+    return accum
+
+
+def perlin_turb(tables: PerlinTables, p, depth: int = 7):
+    """|fBm| turbulence (rt/noise.go:58-68)."""
+    accum = jnp.zeros(p.shape[:-1], p.dtype)
+    weight = 1.0
+    pt = p
+    for _ in range(depth):
+        accum = accum + weight * perlin_noise(tables, pt)
+        weight *= 0.5
+        pt = pt * 2.0
+    return jnp.abs(accum)
+
+
+def evaluate(pack: TexturePack, tex_id, u, v, p, *, has_noise=True, has_image=True):
+    """Texture value for each ray: tex_id [R] i32, u/v [R], p [R,3] -> [R,3].
+
+    ``has_noise`` / ``has_image`` are static flags letting scenes without
+    those texture kinds skip the (comparatively expensive) evaluations.
+    """
+    kind = pack.kind[tex_id]
+    out = pack.color[tex_id]
+
+    # Checker (rt/texture.go:63-77)
+    inv_scale = pack.inv_scale[tex_id]
+    lattice = jnp.floor(inv_scale[:, None] * p + 1e-4).astype(jnp.int32)
+    is_even = (lattice[:, 0] + lattice[:, 1] + lattice[:, 2]) % 2 == 0
+    checker = jnp.where(
+        is_even[:, None], pack.even_color[tex_id], pack.odd_color[tex_id]
+    )
+    out = jnp.where((kind == TEX_CHECKER)[:, None], checker, out)
+
+    if has_noise:
+        scale = pack.noise_scale[tex_id]
+        s = scale * p[:, 2] + 10.0 * perlin_turb(pack.perlin, p * scale[:, None], 7)
+        marble = 0.5 * (1.0 + jnp.sin(s))
+        out = jnp.where((kind == TEX_NOISE)[:, None], marble[:, None], out)
+
+    if has_image:
+        img = pack.image_id[tex_id]
+        w = pack.atlas_wh[img, 0]
+        h = pack.atlas_wh[img, 1]
+        uc = jnp.clip(u, 0.0, 1.0)
+        vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip v (rt/image_texture.go:33)
+        xi = jnp.clip((uc * w.astype(u.dtype)).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip((vc * h.astype(u.dtype)).astype(jnp.int32), 0, h - 1)
+        texel = pack.atlas[img, yi, xi]
+        out = jnp.where((kind == TEX_IMAGE)[:, None], texel, out)
+
+    return out

@@ -1,0 +1,179 @@
+"""Megabatch tile renderer.
+
+The reference's bucket renderer (rt/bucket_renderer.go) splits the image
+into 32x32 spiral-ordered tiles pulled by a goroutine worker pool; the TPU
+formulation flattens (pixels x samples) into one ray stream and launches it
+in fixed-size chunks of a single jitted program — tiles become chunk
+boundaries, the worker pool becomes the VPU/MXU, and the mutex-guarded
+framebuffer (rt/bucket_renderer.go:292-300) becomes a scatter-add into the
+accumulation buffer.
+
+Progressive multi-pass rendering (preview 1 SPP/depth 3 -> refine -> final,
+rt/bucket_renderer.go:170-191) maps to SPP-chunked scheduling: see
+``render_progressive``.  Because the RNG is counter-based over
+(pixel, sample), SPP chunks also double as checkpoint units: the
+accumulator + the number of completed samples fully determine resumption.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, generate_rays
+from ..core import film
+from ..geometry.scene import Scene
+from ..integrator import wavefront
+
+# Cap on rays*primitives pair buffers, to bound the [R, N] intermediates.
+DEFAULT_PAIR_BUDGET = 1 << 26
+
+
+def _scene_prim_count(scene: Scene) -> int:
+    n = int(
+        scene.spheres.radius.shape[0]
+        + scene.planar.d.shape[0]
+        + scene.volumes.neg_inv_density.shape[0]
+    )
+    # Mesh traversal cost per ray ~ frontier capacity (cap_factor * levels
+    # * BRANCH); charge a flat equivalent per prototype for chunk sizing.
+    n += 256 * len(scene.meshes)
+    return n
+
+
+def pick_chunk_size(scene: Scene, *, pair_budget: int = DEFAULT_PAIR_BUDGET,
+                    max_rays: int = 1 << 20) -> int:
+    n = max(_scene_prim_count(scene), 1)
+    chunk = min(max_rays, max(pair_budget // n, 4096))
+    return int(max(1024, (chunk // 1024) * 1024))
+
+
+@partial(jax.jit, static_argnames=("cam", "spp", "chunk", "max_depth"),
+         donate_argnames=("accum",))
+def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
+                  chunk: int, max_depth: int):
+    """Trace ``chunk`` rays starting at global ray id ``ray_start`` and
+    scatter-add their radiance into the flat accumulator [W*H, 3]."""
+    w, h = cam.image_width, cam.image_height
+    n_pixels = w * h
+    total = n_pixels * spp
+
+    ids = ray_start + jnp.arange(chunk, dtype=jnp.uint32)
+    valid = ids < total
+    ids = jnp.minimum(ids, total - 1)
+    sample = (ids // n_pixels).astype(jnp.uint32)
+    pixel = (ids % n_pixels).astype(jnp.uint32)
+    px = (pixel % w).astype(jnp.int32)
+    py = (pixel // w).astype(jnp.int32)
+    # Stream id = pixel * spp + sample: invariant to chunking layout.
+    stream = pixel * jnp.uint32(spp) + sample
+
+    cam2 = dataclasses.replace(cam, max_depth=max_depth)
+    o, d, tm = generate_rays(cam2, px, py, stream, seed)
+    radiance = wavefront.trace(scene, cam2, o, d, tm, stream, seed)
+    radiance = jnp.where(valid[:, None], radiance, 0.0)
+    return accum.at[pixel].add(radiance)
+
+
+@dataclasses.dataclass
+class RenderStats:
+    rays_traced: int = 0
+    wall_seconds: float = 0.0
+    chunks: int = 0
+
+    @property
+    def rays_per_second(self) -> float:
+        return self.rays_traced / self.wall_seconds if self.wall_seconds > 0 else 0.0
+
+
+def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
+           max_depth: Optional[int] = None, seed: int = 0,
+           chunk: Optional[int] = None, sample_offset: int = 0,
+           accum: Optional[jnp.ndarray] = None, stats: Optional[RenderStats] = None):
+    """Render ``spp`` samples/pixel; returns the accumulation buffer
+    [H, W, 3] of *summed* radiance (divide by spp via film.tonemap).
+
+    ``sample_offset`` starts sampling at a given global sample index so
+    progressive / resumed renders continue the same RNG streams.
+    """
+    spp = cam.samples_per_pixel if spp is None else spp
+    max_depth = cam.max_depth if max_depth is None else max_depth
+    w, h = cam.image_width, cam.image_height
+    n_pixels = w * h
+    if chunk is None:
+        chunk = pick_chunk_size(scene)
+        # Never launch (much) more than the job itself.
+        chunk = min(chunk, max(1024, -(-n_pixels * spp // 1024) * 1024))
+
+    flat = (
+        jnp.zeros((n_pixels, 3), jnp.float32)
+        if accum is None
+        else jnp.asarray(accum, jnp.float32).reshape(n_pixels, 3)
+    )
+
+    # Virtual stream window: samples [sample_offset, sample_offset + spp).
+    # The chunk kernel sees a logical spp' = sample_offset + spp and we skip
+    # the first sample_offset * n_pixels rays.
+    logical_spp = sample_offset + spp
+    start = sample_offset * n_pixels
+    total = logical_spp * n_pixels
+
+    t0 = time.perf_counter()
+    pos = start
+    n_chunks = 0
+    while pos < total:
+        flat = _render_chunk(
+            scene, cam, flat, jnp.uint32(pos), seed,
+            spp=logical_spp, chunk=chunk, max_depth=max_depth,
+        )
+        pos += chunk
+        n_chunks += 1
+    flat.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    if stats is not None:
+        stats.rays_traced += total - start
+        stats.wall_seconds += dt
+        stats.chunks += n_chunks
+    return flat.reshape(h, w, 3)
+
+
+def render_image(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
+                 max_depth: Optional[int] = None, seed: int = 0,
+                 chunk: Optional[int] = None, stats: Optional[RenderStats] = None):
+    """Render and tonemap to [H, W, 3] floats in [0, 0.999]."""
+    spp_eff = cam.samples_per_pixel if spp is None else spp
+    accum = render(
+        scene, cam, spp=spp_eff, max_depth=max_depth, seed=seed, chunk=chunk,
+        stats=stats,
+    )
+    return film.tonemap(accum, spp_eff)
+
+
+PROGRESSIVE_PASSES = "preview", "refining", "final"
+
+
+def render_progressive(scene: Scene, cam: Camera, *, seed: int = 0,
+                       callback=None):
+    """V-Ray-style progressive schedule mirroring renderPass
+    (rt/bucket_renderer.go:170-191): preview = 1 SPP / depth 3, refine =
+    spp/4 / depth/2, final = full quality.  Like the reference, each pass
+    renders afresh and replaces the displayed image (the final image is the
+    full-quality pass alone).  Yields (pass_name, image01) tuples."""
+    spp = cam.samples_per_pixel
+    schedule = [
+        ("preview", 1, 3),                                     # :177-180
+        ("refining", max(spp // 4, 1), max(cam.max_depth // 2, 1)),  # :181-185
+        ("final", spp, cam.max_depth),                          # :186-190
+    ]
+    for name, n, depth in schedule:
+        img = render_image(scene, cam, spp=n, max_depth=depth, seed=seed)
+        if callback is not None:
+            callback(name, img)
+        yield name, img

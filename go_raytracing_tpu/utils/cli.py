@@ -1,0 +1,75 @@
+"""Command-line renderer (reference: main.go).
+
+Usage:
+    python -m go_raytracing_tpu.utils.cli -scene cornell [-spp 100]
+        [-width 600] [-depth 5] [-out image.png] [-progressive]
+        [-profile-dir profiles/] [-seed 0]
+
+Mirrors the reference CLI's ``-scene`` registry and aliases
+(main.go:108-152); profiling flags map Go pprof to jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native path tracer")
+    ap.add_argument("-scene", default="hdri-test", help="scene name (main.go:26)")
+    ap.add_argument("-spp", type=int, default=None)
+    ap.add_argument("-width", type=int, default=None)
+    ap.add_argument("-depth", type=int, default=None)
+    ap.add_argument("-seed", type=int, default=0)
+    ap.add_argument("-out", default="image.png")
+    ap.add_argument("-progressive", action="store_true",
+                    help="V-Ray-style preview/refine/final passes")
+    ap.add_argument("-profile-dir", default=None,
+                    help="write jax.profiler traces here (cf. -profile)")
+    args = ap.parse_args(argv)
+
+    import go_raytracing_tpu as grt
+    from go_raytracing_tpu.utils.profiler import Profiler
+
+    scene, cam = grt.load_scene(args.scene)
+    if args.width:
+        cam = dataclasses.replace(cam, image_width=args.width)
+    if args.spp:
+        cam = dataclasses.replace(cam, samples_per_pixel=args.spp)
+    if args.depth:
+        cam = dataclasses.replace(cam, max_depth=args.depth)
+
+    print(
+        f"Rendering '{args.scene}': {cam.image_width}x{cam.image_height} "
+        f"@ {cam.samples_per_pixel} spp, depth {cam.max_depth}"
+    )
+
+    prof = Profiler(trace_dir=args.profile_dir)
+    prof.start()
+    t0 = time.perf_counter()
+    try:
+        if args.progressive:
+            img = None
+            for name, img in grt.render_progressive(scene, cam, seed=args.seed):
+                print(f"  pass '{name}' done @ {time.perf_counter() - t0:.1f}s")
+        else:
+            img = grt.render_image(scene, cam, seed=args.seed)
+    finally:
+        prof.stop()
+    wall = time.perf_counter() - t0
+
+    prof.counters.add_launch(
+        cam.image_width * cam.image_height, cam.samples_per_pixel,
+        cam.max_depth, 1 if scene.n_lights else 0,
+    )
+    print(prof.report(wall))
+
+    grt.film.write_png(args.out, grt.film.to_uint8(img))
+    print(f"Done in {wall:.2f}s. Image written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
