@@ -31,13 +31,21 @@ def main():
         cam, aspect_ratio=600.0 / 338.0, image_width=600, samples_per_pixel=100
     )
     spp = cam.samples_per_pixel
+    from go_raytracing_tpu.render.renderer import pick_chunk_size
 
-    # Warmup / compile.
-    grt.render(scene, cam, spp=1, seed=0)
+    chunk = min(
+        pick_chunk_size(scene),
+        cam.image_width * cam.image_height * spp,
+    )
+    chunk = max(1024, (chunk // 1024) * 1024)
 
+    # Warmup / compile: one chunk of the *same* jitted program (same static
+    # spp/chunk/max_depth), so the timed run hits the executable cache.
+    grt.render(scene, cam, spp=spp, seed=0, chunk=chunk,
+               sample_offset=0, accum=None)  # first call compiles
     stats = grt.RenderStats()
     t0 = time.perf_counter()
-    accum = grt.render(scene, cam, spp=spp, seed=0, stats=stats)
+    accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk, stats=stats)
     wall = time.perf_counter() - t0
 
     n_rays = cam.image_width * cam.image_height * spp

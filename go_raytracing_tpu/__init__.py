@@ -6,6 +6,23 @@ NEE+MIS area lights, HDRI importance sampling, volumes, instanced meshes,
 and multi-chip rendering over a jax.sharding Mesh.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: compiles in this environment go through
+# a slow remote helper (~minutes for the bounce loop), so caching across
+# processes is a large win for tests, benches and repeated renders.
+_cache_dir = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+)
+try:  # pragma: no cover
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from .camera import Camera, quick_preview, standard_quality, high_quality
 from .geometry.scene import Affine, Scene, SceneBuilder
 from .render.renderer import (

@@ -20,8 +20,12 @@ import jax.numpy as jnp
 
 
 def linear_to_gamma(linear):
-    """Gamma-2.0 encode: sqrt of the positive part (rt/utils.go:85-90)."""
-    return jnp.sqrt(jnp.maximum(linear, 0.0))
+    """Gamma-2.0 encode: sqrt of the positive part (rt/utils.go:85-90).
+
+    The double-where keeps the derivative finite at 0 (sqrt' -> inf would
+    NaN-poison gradients of losses on tonemapped images)."""
+    safe = jnp.maximum(linear, 1e-12)
+    return jnp.where(linear > 0, jnp.sqrt(safe), 0.0)
 
 
 def tonemap(accum, spp):

@@ -76,8 +76,13 @@ def refract(uv, n, etai_over_etat):
         etai_over_etat = etai_over_etat[..., None]
     cos_theta = jnp.minimum(vdot(-uv, n), 1.0)
     r_out_perp = etai_over_etat * (uv + cos_theta * n)
+    # max() keeps sqrt' finite at the TIR boundary (backward-pass safety);
+    # forward difference is < 1e-10.
     r_out_parallel = -jnp.sqrt(
-        jnp.abs(1.0 - jnp.sum(r_out_perp * r_out_perp, axis=-1, keepdims=True))
+        jnp.maximum(
+            jnp.abs(1.0 - jnp.sum(r_out_perp * r_out_perp, axis=-1, keepdims=True)),
+            1e-20,
+        )
     ) * n
     return r_out_perp + r_out_parallel
 

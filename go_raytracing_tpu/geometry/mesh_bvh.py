@@ -154,6 +154,11 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
         # our monotone starts equals the segment; fix empties explicitly.
         mn = np.where(nonempty[:, None], mn, np.inf)
         mx = np.where(nonempty[:, None], mx, -np.inf)
+        # padToMinimums (rt/aabb.go:117-128): expand degenerate axes so flat
+        # geometry (axis-aligned triangles) still passes the slab test.
+        thin = (mx - mn) < 1e-4
+        mn = np.where(thin & nonempty[:, None], mn - 1e-4, mn)
+        mx = np.where(thin & nonempty[:, None], mx + 1e-4, mx)
         return mn, mx
 
     level_bbox_min, level_bbox_max = [], []
@@ -171,6 +176,9 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
 
     root_min = lo.min(axis=0)
     root_max = hi.max(axis=0)
+    thin = (root_max - root_min) < 1e-4
+    root_min = np.where(thin, root_min - 1e-4, root_min)
+    root_max = np.where(thin, root_max + 1e-4, root_max)
 
     w2l = np.zeros((len(instances), 3, 4))
     nmat = np.zeros((len(instances), 3, 3))

@@ -245,7 +245,15 @@ def sphere_hit_record(pack: SpherePack, idx, o, d, tm, t):
 # -----------------------------------------------------------------------------
 
 def intersect_planar(pack: PlanarPack, o, d, t_min, t_max):
-    """Closest planar-primitive hit per ray. Returns (t, idx, hit)."""
+    """Closest planar-primitive hit per ray. Returns (t, idx, hit).
+
+    All pair-wise intermediates are [R, N] component arrays — never
+    [R, N, 3] — so the TPU lane dimension carries primitives (or rays),
+    not the wasted 3-vector axis.  The barycentric test is expanded as
+      alpha = w . (rel x v) = rel . (v x w),   beta = rel . (w x u)
+    with the per-primitive constant vectors (v x w) and (w x u)
+    precomputed host-side-equivalent (cheap [N,3] work).
+    """
     n = pack.d.shape[0]
     if n == 0:
         r_ = o.shape[0]
@@ -267,19 +275,37 @@ def intersect_planar(pack: PlanarPack, o, d, t_min, t_max):
         (t >= t_min) & (t <= tmaxc),
     )
 
-    # Hit point relative to anchor, per pair: [R, N, 3]
-    p = o[:, None, :] + t[..., None] * d[:, None, :]
-    rel = p - pack.q[None, :, :]
-
-    # Quad/tri barycentric coords via w = n/|n|^2 (rt/quad.go:57-60)
-    alpha = vec.dot(pack.w[None, :, :], jnp.cross(rel, pack.v[None, :, :]))
-    beta = vec.dot(pack.w[None, :, :], jnp.cross(pack.u[None, :, :], rel))
+    # alpha = rel.(v x w), beta = rel.(w x u), with rel = o + t d - q.
+    # rel.c = (o.c - q.c) + t (d.c) for any constant c — two [R,N] matmuls
+    # per constant plus elementwise FMA.
+    vxw = jnp.cross(pack.v, pack.w)   # [N, 3] constants
+    wxu = jnp.cross(pack.w, pack.u)
+    q_vxw = jnp.sum(pack.q * vxw, axis=-1)   # [N]
+    q_wxu = jnp.sum(pack.q * wxu, axis=-1)
+    o_vxw = jnp.einsum("rc,nc->rn", o, vxw, preferred_element_type=f32)
+    d_vxw = jnp.einsum("rc,nc->rn", d, vxw, preferred_element_type=f32)
+    o_wxu = jnp.einsum("rc,nc->rn", o, wxu, preferred_element_type=f32)
+    d_wxu = jnp.einsum("rc,nc->rn", d, wxu, preferred_element_type=f32)
+    alpha = o_vxw + t * d_vxw - q_vxw[None, :]
+    beta = o_wxu + t * d_wxu - q_wxu[None, :]
 
     kind = pack.kind[None, :]
     in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
     in_tri = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (alpha + beta <= 1.0)
-    dist2 = jnp.sum(rel * rel, axis=-1)
+
+    # Circle: |rel|^2 = |o-q|^2 + 2 t (o-q).d + t^2 |d|^2, expanded so the
+    # pair term is scalar [R,N] work off three more contractions.
+    qq = jnp.sum(pack.q * pack.q, axis=-1)          # [N]
+    oo = jnp.sum(o * o, axis=-1)                    # [R]
+    dd = jnp.sum(d * d, axis=-1)                    # [R]
+    o_q = jnp.einsum("rc,nc->rn", o, pack.q, preferred_element_type=f32)
+    d_q = jnp.einsum("rc,nc->rn", d, pack.q, preferred_element_type=f32)
+    d_o = jnp.sum(d * o, axis=-1)                   # [R]
+    oq2 = oo[:, None] - 2.0 * o_q + qq[None, :]
+    oq_dot_d = d_o[:, None] - d_q
+    dist2 = oq2 + 2.0 * t * oq_dot_d + t * t * dd[:, None]
     in_circle = dist2 <= (pack.radius * pack.radius)[None, :]
+
     interior = jnp.where(
         kind == KIND_QUAD,
         in_quad,

@@ -223,9 +223,12 @@ def sample_area_light(scene: Scene, cam, p, normal, ray_d, attenuation, mat_id,
 
     wi = vec.unit(-ray_d)
     pdf_brdf = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
-    weight = pdf_light / (pdf_light + pdf_brdf)
+    # Safe divisions: lanes masked below (e.g. the shading point ON the
+    # light, dist ~ 0) must not produce inf/NaN in the primal — masked
+    # infinities poison the backward pass (0 * inf).
+    weight = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-20)
 
-    contrib = emission * (cos_theta / pdf_light * weight)[:, None]
+    contrib = emission * (cos_theta / jnp.maximum(pdf_light, 1e-12) * weight)[:, None]
     contrib = contrib * attenuation * float(n_lights)
     contrib = _clamp_contribution(contrib)
     ok = facing & ~blocked & ~grazing
@@ -273,6 +276,21 @@ def _miss_radiance(scene: Scene, cam: Camera, d, bounce):
     return jnp.broadcast_to(jnp.asarray(cam.background, d.dtype), d.shape)
 
 
+def _vma_of(x):
+    try:
+        return frozenset(jax.typeof(x).vma)
+    except Exception:
+        return frozenset()
+
+
+def _promote_vma(x, axes):
+    """Add any missing varying-manual-axes (shard_map mesh axes) to x."""
+    missing = tuple(axes - _vma_of(x))
+    if missing:
+        return jax.lax.pvary(x, missing)
+    return x
+
+
 def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
     """Radiance for a ray megabatch. o/d [R,3], tm/stream [R] -> [R,3]."""
     r = o.shape[0]
@@ -296,8 +314,11 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
             (alive & ~hit)[:, None], throughput * miss_col, 0.0
         )
 
+        # Miss lanes carry t = BIG; o + BIG*d overflows to inf and would
+        # NaN-poison downstream masked math (and its gradients).
+        t_rec = jnp.where(hit, t, 1.0)
         p, normal, front, uu, vv, mat_id = extract_record(
-            scene, o, d, tm, t, which, idx, aux
+            scene, o, d, tm, t_rec, which, idx, aux
         )
 
         sc = mats.scatter(
@@ -311,7 +332,7 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
         )
 
         # --- NEE + MIS ----------------------------------------------------
-        use_mis = jnp.zeros((r,), bool)
+        use_mis = alive & False  # all-False with alive's vma
         if use_nee:
             use_mis = sc.can_use_nee & alive & hit
             direct = sample_area_light(
@@ -336,13 +357,19 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
 
         return (o, d, throughput, radiance, alive, allow_light), None
 
-    init = (
-        o,
-        d,
-        jnp.ones((r, 3), f32),
-        jnp.zeros((r, 3), f32),
-        jnp.ones((r,), bool),
-        jnp.ones((r,), bool),
+    # Inside shard_map the scan carry must have consistent varying-manual-
+    # axes: promote every component to the union of the ray inputs' vma.
+    axes = _vma_of(o) | _vma_of(d) | _vma_of(tm) | _vma_of(stream)
+    init = tuple(
+        _promote_vma(x, axes)
+        for x in (
+            o,
+            d,
+            jnp.ones((r, 3), f32),
+            jnp.zeros((r, 3), f32),
+            jnp.ones((r,), bool),
+            jnp.ones((r,), bool),
+        )
     )
     bounces = jnp.arange(cam.max_depth, dtype=jnp.uint32)
     (o, d, throughput, radiance, alive, allow_light), _ = lax.scan(

@@ -26,7 +26,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..camera import Camera, generate_rays
 from ..geometry.scene import Scene
@@ -62,11 +66,10 @@ def _device_accum(scene, cam: Camera, start, count: int, spp: int, seed):
     ids = start + jnp.arange(count, dtype=jnp.uint32)
     valid = ids < total
     ids = jnp.minimum(ids, total - 1)
-    sample = ids // n_pixels
     pixel = ids % n_pixels
     px = (pixel % w).astype(jnp.int32)
     py = (pixel // w).astype(jnp.int32)
-    stream = pixel * jnp.uint32(spp) + sample
+    stream = ids  # spp-independent (see renderer._render_chunk)
     o, d, tm = generate_rays(cam, px, py, stream, seed)
     radiance = wavefront.trace(scene, cam, o, d, tm, stream, seed)
     radiance = jnp.where(valid[:, None], radiance, 0.0)

@@ -67,12 +67,13 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
     ids = ray_start + jnp.arange(chunk, dtype=jnp.uint32)
     valid = ids < total
     ids = jnp.minimum(ids, total - 1)
-    sample = (ids // n_pixels).astype(jnp.uint32)
     pixel = (ids % n_pixels).astype(jnp.uint32)
     px = (pixel % w).astype(jnp.int32)
     py = (pixel // w).astype(jnp.int32)
-    # Stream id = pixel * spp + sample: invariant to chunking layout.
-    stream = pixel * jnp.uint32(spp) + sample
+    # Stream id = sample * n_pixels + pixel == the global ray id itself:
+    # independent of the total spp, so SPP-chunked/resumed renders and any
+    # chunking layout produce identical samples.
+    stream = ids
 
     cam2 = dataclasses.replace(cam, max_depth=max_depth)
     o, d, tm = generate_rays(cam2, px, py, stream, seed)
@@ -134,7 +135,8 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
         )
         pos += chunk
         n_chunks += 1
-    flat.block_until_ready()
+    if hasattr(flat, "block_until_ready"):  # absent under jax.grad tracing
+        flat.block_until_ready()
     dt = time.perf_counter() - t0
 
     if stats is not None:

@@ -29,7 +29,17 @@ def main(argv=None):
                     help="V-Ray-style preview/refine/final passes")
     ap.add_argument("-profile-dir", default=None,
                     help="write jax.profiler traces here (cf. -profile)")
+    ap.add_argument("-platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX backend (this environment pins the "
+                         "TPU tunnel by default; cpu compiles locally)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update(
+            "jax_platforms", "cpu" if args.platform == "cpu" else "axon,cpu"
+        )
 
     import go_raytracing_tpu as grt
     from go_raytracing_tpu.utils.profiler import Profiler

@@ -59,9 +59,12 @@ def test_mesh_traversal_matches_brute_force():
     o = np.zeros((n, 3))
     o[:, 2] = 2.0
     o[:, :2] += rng.normal(size=(n, 2)) * 0.3
-    d = np.stack([
-        rng.uniform(-0.8, 0.8, n), rng.uniform(-0.6, 0.2, n), np.full(n, -1.0)
+    # aim at the (small) instances: world boxes around (+-1, -0.8..0.8, -3)
+    targets = np.stack([
+        rng.uniform(-1.5, 1.5, n), rng.uniform(-0.8, 0.9, n),
+        np.full(n, -3.0),
     ], axis=-1)
+    d = targets - o
 
     t, tri, inst, hit, ovf = mesh_bvh.intersect_mesh(
         proto,
@@ -86,9 +89,10 @@ def test_mesh_traversal_matches_brute_force():
 
 
 def test_mesh_respects_tmax():
+    # single instance sits at world x = -1 (see _mesh_scene)
     _, _, _, proto = _mesh_scene(n_inst=1)
-    o = jnp.asarray([[0.0, -0.5, 2.0]], jnp.float32)
-    d = jnp.asarray([[0.0, 0.3, -1.0]], jnp.float32)
+    o = jnp.asarray([[-1.0, -0.5, 2.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.1, -1.0]], jnp.float32)  # y ~ 0 at the statue
     t1, _, _, hit1, _ = mesh_bvh.intersect_mesh(
         proto, o, d, 1e-3, jnp.full(1, 1e9, jnp.float32)
     )

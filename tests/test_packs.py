@@ -10,8 +10,9 @@ from go_raytracing_tpu.geometry.scene import Affine, SceneBuilder
 
 
 def _sphere_oracle(center, radius, o, d, tmin, tmax):
-    """Returns (root, grazing_ratio) or None; grazing_ratio ~ 0 means the
-    ray is tangent and f32/f64 may legitimately disagree."""
+    """Returns (root_or_None, grazing_ratio); grazing_ratio ~ 0 means the
+    ray is near-tangent (hit OR miss) and f32/f64 may legitimately
+    disagree on it."""
     oc = center - o
     a = d @ d
     h = d @ oc
@@ -19,12 +20,12 @@ def _sphere_oracle(center, radius, o, d, tmin, tmax):
     disc = h * h - a * c
     grazing = abs(disc) / (h * h + abs(a * c) + 1e-12)
     if disc < 0:
-        return None
+        return None, grazing
     sq = np.sqrt(disc)
     for root in ((h - sq) / a, (h + sq) / a):
         if tmin < root < tmax:
             return root, grazing
-    return None
+    return None, grazing
 
 
 def test_sphere_intersection_oracle():
@@ -54,10 +55,9 @@ def test_sphere_intersection_oracle():
     for i in range(200):
         best, best_j, runner, min_graze = np.inf, -1, np.inf, np.inf
         for j in range(20):
-            res = _sphere_oracle(centers[j], radii[j], o[i], d[i], 1e-3, 1e9)
-            if res is not None:
-                root, graze = res
-                min_graze = min(min_graze, graze)
+            root, graze = _sphere_oracle(centers[j], radii[j], o[i], d[i], 1e-3, 1e9)
+            min_graze = min(min_graze, graze)
+            if root is not None:
                 if root < best:
                     runner, best, best_j = best, root, j
                 elif root < runner:
@@ -107,7 +107,7 @@ def test_quad_tri_circle_plane_oracle():
         ((0, 0.5, 0), (0, 0, -1), 3.0, 0),
         ((0, -0.5, 0), (0.0, 0, -1), 3.0, 0),
         ((3, 0, 0), (0, 0, -1), None, None),    # misses all verticals, no floor hit (parallel)
-        ((0, 0, 1), (0, -1, 0), 3.0, 3),        # straight down to plane
+        ((0, 0, 1), (0, -1, 0), 2.0, 3),        # straight down to plane (y: 0 -> -2)
         ((0.1, 0.1, 0), (0, 0, -1), 3.0, 0),
     ]
     o = jnp.asarray([c[0] for c in cases], jnp.float32)
