@@ -58,6 +58,40 @@ def _volume_uniforms(seed, stream, bounce, base, n_volumes):
     return u
 
 
+def _surface_intersects(scene: Scene, o, d, tm, t_min, t_max):
+    """Sphere + planar closest hits, dispatched to the pallas kernels on
+    TPU (geometry detached there — intersections are non-differentiable
+    control flow; shading gradients flow through the hit *records*)."""
+    from ..ops import pallas_intersect as pk
+
+    if pk.enabled():
+        sg = jax.lax.stop_gradient
+        o_, d_, tm_, tmax_ = sg(o), sg(d), sg(tm), sg(t_max)
+        if scene.spheres.radius.shape[0] > 0:
+            t_s, i_s, h_s = pk.sphere_closest(
+                sg(scene.spheres), o_, d_, tm_, tmax_, t_min=float(t_min)
+            )
+        else:
+            r_ = o.shape[0]
+            t_s = jnp.full((r_,), packs.BIG)
+            i_s = jnp.zeros((r_,), jnp.int32)
+            h_s = jnp.zeros((r_,), bool)
+        if scene.planar.d.shape[0] > 0:
+            t_p, i_p, h_p = pk.planar_closest(
+                sg(scene.planar), o_, d_, tmax_, t_min=float(t_min)
+            )
+        else:
+            r_ = o.shape[0]
+            t_p = jnp.full((r_,), packs.BIG)
+            i_p = jnp.zeros((r_,), jnp.int32)
+            h_p = jnp.zeros((r_,), bool)
+        return (t_s, i_s, h_s), (t_p, i_p, h_p)
+
+    t_s, i_s, h_s = packs.intersect_spheres(scene.spheres, o, d, tm, t_min, t_max)
+    t_p, i_p, h_p = packs.intersect_planar(scene.planar, o, d, t_min, t_max)
+    return (t_s, i_s, h_s), (t_p, i_p, h_p)
+
+
 def closest_hit(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce):
     """Closest surface hit, then stochastic volume preemption.
 
@@ -65,8 +99,9 @@ def closest_hit(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce):
     HIT_VOLUME, HIT_MESH_BASE + proto}, idx [R], aux [R] — the mesh
     instance id for mesh hits, 0 otherwise).
     """
-    t_s, i_s, h_s = packs.intersect_spheres(scene.spheres, o, d, tm, t_min, t_max)
-    t_p, i_p, h_p = packs.intersect_planar(scene.planar, o, d, t_min, t_max)
+    (t_s, i_s, h_s), (t_p, i_p, h_p) = _surface_intersects(
+        scene, o, d, tm, t_min, t_max
+    )
 
     sphere_wins = h_s & (~h_p | (t_s < t_p))
     t_surf = jnp.where(sphere_wins, t_s, t_p)
@@ -156,8 +191,9 @@ def occluded(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce, purpose
     """Shadow-ray test: anything (surface or stochastic medium) in
     (t_min, t_max)?  Mirrors world.Hit on shadow rays (rt/camera.go:582,639),
     which includes volumes."""
-    t_s, _, h_s = packs.intersect_spheres(scene.spheres, o, d, tm, t_min, t_max)
-    t_p, _, h_p = packs.intersect_planar(scene.planar, o, d, t_min, t_max)
+    (t_s, _, h_s), (t_p, _, h_p) = _surface_intersects(
+        scene, o, d, tm, t_min, t_max
+    )
     blocked = h_s | h_p
     t_surf = jnp.minimum(
         jnp.where(h_s, t_s, packs.BIG), jnp.where(h_p, t_p, packs.BIG)

@@ -1,0 +1,100 @@
+"""Pallas intersection kernels vs the jnp reference path (interpreter mode
+on CPU; the same kernels compile natively on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import go_raytracing_tpu as grt
+from go_raytracing_tpu.geometry import packs
+from go_raytracing_tpu.ops import pallas_intersect as pk
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    pk.INTERPRET = True
+    yield
+    pk.INTERPRET = False
+
+
+def _random_scene(n_spheres=40, n_planar=True, seed=0):
+    r = np.random.default_rng(seed)
+    b = grt.SceneBuilder()
+    m = b.lambertian((1, 1, 1))
+    for _ in range(n_spheres):
+        if r.random() < 0.3:
+            c = r.normal(size=3) * 4
+            b.moving_sphere(c, c + r.normal(size=3), r.uniform(0.3, 1.2), m)
+        else:
+            b.sphere(r.normal(size=3) * 4, r.uniform(0.3, 1.2), m)
+    if n_planar:
+        b.quad((-2, -2, -6), (4, 0, 0), (0, 4, 0), m)
+        b.triangle((-3, -1, -4), (0, -1, -4), (-1.5, 2, -4), m)
+        b.circle((2, 0, -5), (0.3, 0.2, 1), 1.0, m)
+        b.plane((0, -5, 0), (0, 1, 0), m)
+        b.quad((5, -2, -2), (0, 0, 4), (0, 4, 0), m)
+    return b.build()
+
+
+def _rays(n=700, seed=1):
+    r = np.random.default_rng(seed)
+    o = jnp.asarray(r.normal(size=(n, 3)) * 3, jnp.float32)
+    d = jnp.asarray(r.normal(size=(n, 3)), jnp.float32)
+    tm = jnp.asarray(r.random(n), jnp.float32)
+    tmax = jnp.full((n,), packs.BIG, jnp.float32)
+    return o, d, tm, tmax
+
+
+def test_sphere_kernel_matches_jnp():
+    scene = _random_scene()
+    o, d, tm, tmax = _rays()
+    t_ref, i_ref, h_ref = packs.intersect_spheres(
+        scene.spheres, o, d, tm, 1e-3, tmax
+    )
+    t_pal, i_pal, h_pal = pk.sphere_closest(scene.spheres, o, d, tm, tmax)
+    h_ref, h_pal = np.asarray(h_ref), np.asarray(h_pal)
+    agree = h_ref == h_pal
+    assert agree.mean() > 0.99  # grazing-tangent f32 disagreements only
+    both = h_ref & h_pal & agree
+    np.testing.assert_allclose(
+        np.asarray(t_pal)[both], np.asarray(t_ref)[both], rtol=2e-4, atol=1e-4
+    )
+    same_idx = (np.asarray(i_pal)[both] == np.asarray(i_ref)[both])
+    assert same_idx.mean() > 0.99
+
+
+def test_planar_kernel_matches_jnp():
+    scene = _random_scene(n_spheres=0)
+    o, d, tm, tmax = _rays(seed=2)
+    t_ref, i_ref, h_ref = packs.intersect_planar(scene.planar, o, d, 1e-3, tmax)
+    t_pal, i_pal, h_pal = pk.planar_closest(scene.planar, o, d, tmax)
+    h_ref, h_pal = np.asarray(h_ref), np.asarray(h_pal)
+    assert (h_ref == h_pal).mean() > 0.995
+    both = h_ref & h_pal
+    np.testing.assert_allclose(
+        np.asarray(t_pal)[both], np.asarray(t_ref)[both], rtol=2e-4, atol=1e-4
+    )
+    assert (np.asarray(i_pal)[both] == np.asarray(i_ref)[both]).mean() > 0.995
+
+
+def test_kernel_respects_tmax():
+    scene = _random_scene(n_spheres=10, n_planar=False, seed=3)
+    o, d, tm, _ = _rays(n=200, seed=4)
+    tmax_big = jnp.full((200,), packs.BIG, jnp.float32)
+    t1, _, h1 = pk.sphere_closest(scene.spheres, o, d, tm, tmax_big)
+    # clamp tmax below each hit -> those rays must miss
+    tmax_small = jnp.where(h1, t1 * 0.5, tmax_big)
+    _, _, h2 = pk.sphere_closest(scene.spheres, o, d, tm, tmax_small)
+    assert not bool(np.asarray(h2)[np.asarray(h1)].any())
+
+
+def test_end_to_end_render_with_interpret_kernels():
+    """Full trace with the kernels substituted (enabled() honors INTERPRET)."""
+    scene, cam = grt.load_scene("simple")
+    import dataclasses
+
+    cam = dataclasses.replace(cam, image_width=16, samples_per_pixel=2, max_depth=4)
+    img_pal = np.asarray(grt.render_image(scene, cam, spp=2, seed=3))
+    pk.INTERPRET = False  # jnp path
+    img_ref = np.asarray(grt.render_image(scene, cam, spp=2, seed=3))
+    np.testing.assert_allclose(img_pal, img_ref, rtol=1e-3, atol=2e-3)
