@@ -19,40 +19,63 @@ import json
 import sys
 import time
 
+# BASELINE.md benchmark configs (resolution, spp, depth overrides)
+ALL_CONFIGS = {
+    "simple": dict(width=400, aspect=16 / 9, spp=10, depth=10),
+    "cornell": dict(width=600, aspect=600 / 338, spp=100, depth=5),
+    "random": dict(width=600, aspect=16 / 9, spp=25, depth=10),
+    "hdri-test": dict(width=800, aspect=16 / 9, spp=25, depth=10),
+    "cornell-lucy": dict(width=600, aspect=1.0, spp=25, depth=5),
+    "cornell-smoke": dict(width=600, aspect=1.0, spp=25, depth=5),
+}
 
-def main():
-    import jax
+
+def bench_scene(name, cfg):
     import go_raytracing_tpu as grt
-    from go_raytracing_tpu.scenes.builders import cornell_box_scene
-
-    scene, cam = cornell_box_scene()
-    # BASELINE benchmark shape: 600x338 @ 100 SPP, depth 5 (scene default).
-    cam = dataclasses.replace(
-        cam, aspect_ratio=600.0 / 338.0, image_width=600, samples_per_pixel=100
-    )
-    spp = cam.samples_per_pixel
     from go_raytracing_tpu.render.renderer import pick_chunk_size
 
-    chunk = min(
-        pick_chunk_size(scene),
-        cam.image_width * cam.image_height * spp,
+    scene, cam = grt.load_scene(name)
+    cam = dataclasses.replace(
+        cam, image_width=cfg["width"], aspect_ratio=cfg["aspect"],
+        samples_per_pixel=cfg["spp"], max_depth=cfg["depth"],
     )
+    spp = cam.samples_per_pixel
+    chunk = min(pick_chunk_size(scene), cam.image_width * cam.image_height * spp)
     chunk = max(1024, (chunk // 1024) * 1024)
-
-    # Warmup / compile: one chunk of the *same* jitted program (same static
-    # spp/chunk/max_depth), so the timed run hits the executable cache.
-    grt.render(scene, cam, spp=spp, seed=0, chunk=chunk,
-               sample_offset=0, accum=None)  # first call compiles
-    stats = grt.RenderStats()
+    grt.render(scene, cam, spp=spp, seed=0, chunk=chunk)  # compile+warm
     t0 = time.perf_counter()
-    accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk, stats=stats)
+    accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk)
     wall = time.perf_counter() - t0
-
     n_rays = cam.image_width * cam.image_height * spp
-    mrays = n_rays / wall / 1e6
+    return accum, n_rays / wall / 1e6, wall, cam
+
+
+def main_all():
+    """Bench every BASELINE config; write BENCH_DETAIL.json."""
+    results = {}
+    for name, cfg in ALL_CONFIGS.items():
+        try:
+            _, mrays, wall, cam = bench_scene(name, cfg)
+            results[name] = dict(
+                mrays_per_s=round(mrays, 3), wall_s=round(wall, 3),
+                width=cam.image_width, height=cam.image_height,
+                spp=cam.samples_per_pixel, depth=cam.max_depth,
+            )
+            print(f"{name:15s}: {mrays:8.2f} Mrays/s  ({wall:.2f}s)")
+        except Exception as e:  # keep going; report the failure
+            results[name] = dict(error=str(e)[:200])
+            print(f"{name:15s}: FAILED {e}")
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def main():
+    import go_raytracing_tpu as grt
+
+    accum, mrays, wall, cam = bench_scene("cornell", ALL_CONFIGS["cornell"])
     baseline_mrays = 0.4  # reference CPU camera-ray rate (BASELINE.md)
 
-    img = grt.film.tonemap(accum, spp)
+    img = grt.film.tonemap(accum, cam.samples_per_pixel)
     grt.film.write_png("image.png", grt.film.to_uint8(img))
 
     print(json.dumps({
@@ -64,4 +87,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv:
+        main_all()
+    else:
+        main()

@@ -169,8 +169,11 @@ def high_quality() -> Camera:
 def generate_rays(cam: Camera, px, py, stream, seed):
     """Camera rays for pixel coords px/py [R] i32 and RNG streams [R].
 
-    Returns (origin [R,3], direction [R,3] (unnormalized), time [R]).
+    Returns (origin V3, direction V3 (unnormalized), time [R]) — component
+    SoA (core/vec3.py).
     """
+    from .core.vec3 import V3
+
     f32 = jnp.float32
     jx, jy, _ = rngmod.uniform3(seed, stream, 0, rngmod.JITTER_X)
     offset_x = jx - 0.5
@@ -193,53 +196,63 @@ def generate_rays(cam: Camera, px, py, stream, seed):
         upper_left = center - w * cam.focus_dist - viewport_u / 2 - viewport_v / 2
         pixel00 = upper_left + 0.5 * (du + dv)
 
-        pixel00_j = jnp.asarray(pixel00, f32)
-        du_j = jnp.asarray(du, f32)
-        dv_j = jnp.asarray(dv, f32)
-        sample = pixel00_j + fx[:, None] * du_j + fy[:, None] * dv_j
+        p00 = V3.from_tuple(tuple(pixel00.astype(np.float32)))
+        du_v = V3.from_tuple(tuple(du.astype(np.float32)))
+        dv_v = V3.from_tuple(tuple(dv.astype(np.float32)))
+        sample = p00 + du_v * fx + dv_v * fy
 
-        origin = jnp.broadcast_to(jnp.asarray(center, f32), sample.shape)
+        origin = V3.full(fx.shape, tuple(center.astype(np.float32)))
         if cam.defocus_angle > 0:
             r1, r2 = rngmod.uniform2(seed, stream, 0, rngmod.DEFOCUS_R)
             dx, dy = rngmod.in_unit_disk_from_uniforms(r1, r2)
             radius = cam._defocus_radius()
-            disk_u = jnp.asarray(u * radius, f32)
-            disk_v = jnp.asarray(v * radius, f32)
-            origin = origin + dx[:, None] * disk_u + dy[:, None] * disk_v
+            disk_u = V3.from_tuple(tuple((u * radius).astype(np.float32)))
+            disk_v = V3.from_tuple(tuple((v * radius).astype(np.float32)))
+            origin = origin + disk_u * dx + disk_v * dy
         return origin, sample - origin, ray_time
 
     # Slow path (rt/camera.go:390-434): per-ray basis at ray time
-    t = ray_time[:, None]
-    center0 = jnp.asarray(cam.look_from, f32)
-    center_vel = jnp.asarray(_sub(cam.look_from2, cam.look_from), f32) if cam.camera_motion else jnp.zeros(3, f32)
-    current_center = center0 + t * center_vel
+    t = ray_time
+    center0 = V3.from_tuple(cam.look_from, like=None)
+    ones = jnp.ones_like(fx)
+    center0 = V3(center0.x * ones, center0.y * ones, center0.z * ones)
+    if cam.camera_motion:
+        vel = V3.from_tuple(_sub(cam.look_from2, cam.look_from))
+        current_center = center0 + V3(vel.x * t, vel.y * t, vel.z * t)
+    else:
+        current_center = center0
 
     if cam.free_camera:
         u_np, v_np, w_np = cam._basis()
-        w = jnp.broadcast_to(jnp.asarray(w_np, f32), current_center.shape)
-        u = jnp.broadcast_to(jnp.asarray(u_np, f32), current_center.shape)
-        v = jnp.broadcast_to(jnp.asarray(v_np, f32), current_center.shape)
+        w = V3.from_tuple(tuple(w_np), like=current_center)
+        u = V3.from_tuple(tuple(u_np), like=current_center)
+        v = V3.from_tuple(tuple(v_np), like=current_center)
     else:
-        lookat0 = jnp.asarray(cam.look_at, f32)
-        lookat_vel = jnp.asarray(_sub(cam.look_at2, cam.look_at), f32) if cam.camera_motion else jnp.zeros(3, f32)
-        current_lookat = lookat0 + t * lookat_vel
-        w = vec.unit(current_center - current_lookat)
-        vup = jnp.asarray(cam.vup, f32)
-        u = vec.unit(jnp.cross(jnp.broadcast_to(vup, w.shape), w))
-        v = jnp.cross(w, u)
+        lookat0 = V3.from_tuple(cam.look_at, like=current_center)
+        if cam.camera_motion:
+            lvel = V3.from_tuple(_sub(cam.look_at2, cam.look_at))
+            current_lookat = lookat0 + V3(lvel.x * t, lvel.y * t, lvel.z * t)
+        else:
+            current_lookat = lookat0
+        w = (current_center - current_lookat).unit()
+        vup = V3.from_tuple(cam.vup, like=current_center)
+        u = vup.cross(w).unit()
+        v = w.cross(u)
 
     viewport_u = u * f32(vp_w)
     viewport_v = -v * f32(vp_h)
-    du = viewport_u / f32(iw)
-    dv = viewport_v / f32(ih)
-    upper_left = current_center - w * f32(cam.focus_dist) - viewport_u * 0.5 - viewport_v * 0.5
-    pixel00 = upper_left + 0.5 * (du + dv)
-    sample = pixel00 + fx[:, None] * du + fy[:, None] * dv
+    du = viewport_u * (1.0 / iw)
+    dv = viewport_v * (1.0 / ih)
+    upper_left = (
+        current_center - w * f32(cam.focus_dist) - viewport_u * 0.5 - viewport_v * 0.5
+    )
+    pixel00 = upper_left + (du + dv) * 0.5
+    sample = pixel00 + du * fx + dv * fy
 
     origin = current_center
     if cam.defocus_angle > 0:
         r1, r2 = rngmod.uniform2(seed, stream, 0, rngmod.DEFOCUS_R)
         dx, dy = rngmod.in_unit_disk_from_uniforms(r1, r2)
         radius = f32(cam._defocus_radius())
-        origin = origin + (dx[:, None] * u + dy[:, None] * v) * radius
+        origin = origin + (u * dx + v * dy) * radius
     return origin, sample - origin, ray_time

@@ -1,4 +1,4 @@
-"""Wavefront path-tracing integrator.
+"""Wavefront path-tracing integrator (component-SoA hot path).
 
 The reference's recursive integrator (``rayColorInternal``,
 rt/camera.go:443-518) becomes an iterative bounce loop over a ray megabatch
@@ -8,9 +8,14 @@ throughput, radiance, alive, allow_light_hits) is carried through a
 ``allowLightHits`` flag that kills BRDF-path double counting of NEE-sampled
 lights (rt/camera.go:473-517) becomes a per-ray bit.
 
+All 3-vectors are ``core.vec3.V3`` component SoA — three dense [R] arrays
+— because [R, 3] arrays pad the TPU lane dimension 3->128 and waste ~40x
+of the VPU (see core/vec3.py).
+
 Algorithm parity with the reference per bounce:
-  1. closest hit over spheres + planar prims, then stochastic volume
-     scattering may preempt the surface hit (rt/volume.go:34-79);
+  1. closest hit over spheres + planar prims (+ instanced meshes), then
+     stochastic volume scattering may preempt the surface hit
+     (rt/volume.go:34-79);
   2. miss -> HDRI miss shader (with phantom-primary-ray test
      ``bounce == 0`` == ``depth == MaxDepth``, rt/camera.go:453-461) /
      sky gradient (rt/camera.go:520-526) / flat background;
@@ -31,6 +36,7 @@ from jax import lax
 
 from ..core import rng as rngmod
 from ..core import vec
+from ..core.vec3 import V3
 from ..geometry import mesh_bvh, packs
 from ..geometry.scene import Scene
 from ..materials import tables as mats
@@ -51,6 +57,8 @@ PURPOSE_VOL_MAIN = 64      # + 32 * volume_index
 PURPOSE_VOL_SHADOW_AREA = 65
 PURPOSE_VOL_SHADOW_HDRI = 66
 
+BIG = packs.BIG
+
 
 def _volume_uniforms(seed, stream, bounce, base, n_volumes):
     purpose = base + 32 * jnp.arange(n_volumes, dtype=jnp.uint32)[None, :]
@@ -58,46 +66,105 @@ def _volume_uniforms(seed, stream, bounce, base, n_volumes):
     return u
 
 
-def _surface_intersects(scene: Scene, o, d, tm, t_min, t_max):
+# -----------------------------------------------------------------------------
+# Intersection (SoA)
+# -----------------------------------------------------------------------------
+
+def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_flight):
+    """Component-SoA port of packs.sample_volumes (rt/volume.go:34-79).
+    u_flight: [R, N]. Returns (t_vol [R], idx [R], hit [R])."""
+    n = pack.neg_inv_density.shape[0]
+    r_ = o.x.shape[0]
+    if n == 0:
+        return jnp.full((r_,), BIG), jnp.zeros((r_,), jnp.int32), jnp.zeros((r_,), bool)
+
+    m = pack.world_to_local  # [N, 3, 4]
+
+    def to_local(v: V3, translate):
+        out = []
+        for i in range(3):
+            c = (
+                m[None, :, i, 0] * v.x[:, None]
+                + m[None, :, i, 1] * v.y[:, None]
+                + m[None, :, i, 2] * v.z[:, None]
+            )
+            if translate:
+                c = c + m[None, :, i, 3]
+            out.append(c)  # [R, N]
+        return out
+
+    o_l = to_local(o, True)
+    d_l = to_local(d, False)
+
+    t0 = jnp.full((r_, n), -np.inf, jnp.float32)
+    t1 = jnp.full((r_, n), np.inf, jnp.float32)
+    for i in range(3):
+        dli = d_l[i]
+        safe = jnp.where(jnp.abs(dli) < 1e-12, jnp.where(dli < 0, -1e-12, 1e-12), dli)
+        inv = 1.0 / safe
+        ta = (pack.box_min[None, :, i] - o_l[i]) * inv
+        tb = (pack.box_max[None, :, i] - o_l[i]) * inv
+        t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+        t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+    crosses = t1 > t0
+
+    t0c = jnp.maximum(t0, t_min)           # rec1.T clamp (rt/volume.go:50-52)
+    t1c = jnp.minimum(t1, t_surface[:, None])
+    inside = crosses & (t0c < t1c)
+
+    ray_len = d.length()[:, None]
+    dist_inside = (t1c - t0c) * ray_len
+    log_u = jnp.log(jnp.maximum(u_flight, 1e-38))
+    hit_dist = pack.neg_inv_density[None, :] * log_u
+    accept = inside & (hit_dist <= dist_inside)
+    t_scatter = t0c + hit_dist / ray_len
+    t_pair = jnp.where(accept, t_scatter, BIG)
+
+    idx = jnp.argmin(t_pair, axis=-1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(t_pair, idx[:, None], axis=-1)[:, 0]
+    return t_best, idx, t_best < BIG
+
+
+def _surface_intersects(scene: Scene, o: V3, d: V3, tm, t_min, t_max):
     """Sphere + planar closest hits, dispatched to the pallas kernels on
     TPU (geometry detached there — intersections are non-differentiable
     control flow; shading gradients flow through the hit *records*)."""
     from ..ops import pallas_intersect as pk
 
+    r_ = o.x.shape[0]
+
+    def empty():
+        return (
+            jnp.full((r_,), BIG),
+            jnp.zeros((r_,), jnp.int32),
+            jnp.zeros((r_,), bool),
+        )
+
     if pk.enabled():
         sg = jax.lax.stop_gradient
         o_, d_, tm_, tmax_ = sg(o), sg(d), sg(tm), sg(t_max)
-        if scene.spheres.radius.shape[0] > 0:
-            t_s, i_s, h_s = pk.sphere_closest(
-                sg(scene.spheres), o_, d_, tm_, tmax_, t_min=float(t_min)
-            )
-        else:
-            r_ = o.shape[0]
-            t_s = jnp.full((r_,), packs.BIG)
-            i_s = jnp.zeros((r_,), jnp.int32)
-            h_s = jnp.zeros((r_,), bool)
-        if scene.planar.d.shape[0] > 0:
-            t_p, i_p, h_p = pk.planar_closest(
-                sg(scene.planar), o_, d_, tmax_, t_min=float(t_min)
-            )
-        else:
-            r_ = o.shape[0]
-            t_p = jnp.full((r_,), packs.BIG)
-            i_p = jnp.zeros((r_,), jnp.int32)
-            h_p = jnp.zeros((r_,), bool)
-        return (t_s, i_s, h_s), (t_p, i_p, h_p)
+        s = (
+            pk.sphere_closest(sg(scene.spheres), o_, d_, tm_, tmax_, t_min=float(t_min))
+            if scene.spheres.radius.shape[0] > 0
+            else empty()
+        )
+        p = (
+            pk.planar_closest(sg(scene.planar), o_, d_, tmax_, t_min=float(t_min))
+            if scene.planar.d.shape[0] > 0
+            else empty()
+        )
+        return s, p
 
-    t_s, i_s, h_s = packs.intersect_spheres(scene.spheres, o, d, tm, t_min, t_max)
-    t_p, i_p, h_p = packs.intersect_planar(scene.planar, o, d, t_min, t_max)
+    rows_o, rows_d = o.rows(), d.rows()
+    t_s, i_s, h_s = packs.intersect_spheres(scene.spheres, rows_o, rows_d, tm, t_min, t_max)
+    t_p, i_p, h_p = packs.intersect_planar(scene.planar, rows_o, rows_d, t_min, t_max)
     return (t_s, i_s, h_s), (t_p, i_p, h_p)
 
 
-def closest_hit(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce):
+def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce):
     """Closest surface hit, then stochastic volume preemption.
 
-    Returns (t [R], which [R] i32 in {HIT_NONE, HIT_SPHERE, HIT_PLANAR,
-    HIT_VOLUME, HIT_MESH_BASE + proto}, idx [R], aux [R] — the mesh
-    instance id for mesh hits, 0 otherwise).
+    Returns (t [R], which [R] i32, idx [R], aux [R] mesh-instance id).
     """
     (t_s, i_s, h_s), (t_p, i_p, h_p) = _surface_intersects(
         scene, o, d, tm, t_min, t_max
@@ -117,7 +184,7 @@ def closest_hit(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce):
     for mi, proto in enumerate(scene.meshes):
         t_limit = jnp.where(hit_surf, jnp.minimum(t_surf, t_max), t_max)
         t_m, tri_m, inst_m, h_m, _ovf = mesh_bvh.intersect_mesh(
-            proto, o, d, t_min, t_limit
+            proto, o.rows(), d.rows(), t_min, t_limit
         )
         mesh_wins = h_m & (~hit_surf | (t_m < t_surf))
         t_surf = jnp.where(mesh_wins, t_m, t_surf)
@@ -127,9 +194,9 @@ def closest_hit(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce):
         hit_surf = hit_surf | h_m
 
     if scene.n_volumes > 0:
-        t_limit = jnp.where(hit_surf, t_surf, jnp.full_like(t_surf, packs.BIG))
+        t_limit = jnp.where(hit_surf, t_surf, jnp.full_like(t_surf, BIG))
         u_vol = _volume_uniforms(seed, stream, bounce, PURPOSE_VOL_MAIN, scene.n_volumes)
-        t_v, i_v, h_v = packs.sample_volumes(scene.volumes, o, d, t_min, t_limit, u_vol)
+        t_v, i_v, h_v = _sample_volumes(scene.volumes, o, d, t_min, t_limit, u_vol)
         vol_wins = h_v & (~hit_surf | (t_v < t_surf))
         t_surf = jnp.where(vol_wins, t_v, t_surf)
         which = jnp.where(vol_wins, HIT_VOLUME, which).astype(jnp.int32)
@@ -138,43 +205,100 @@ def closest_hit(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce):
     return t_surf, which, idx, aux
 
 
-def extract_record(scene: Scene, o, d, tm, t, which, idx, aux):
-    """Hit record for the winning primitive per ray."""
-    r = o.shape[0]
-    p = vec.ray_at(o, d, t)
-    normal = jnp.zeros_like(p).at[:, 0].set(1.0)  # volume normal (rt/volume.go:73)
+def _sphere_record(pack: packs.SpherePack, idx, o: V3, d: V3, tm, t):
+    """SoA sphere hit record (UV per getSphereUV, rt/sphere.go:53-59)."""
+    c0 = V3(pack.center[:, 0][idx], pack.center[:, 1][idx], pack.center[:, 2][idx])
+    vel = V3(pack.velocity[:, 0][idx], pack.velocity[:, 1][idx], pack.velocity[:, 2][idx])
+    rad = pack.radius[idx]
+    center = c0 + vel * tm
+    p = o.at(d, t)
+    outward = (p - center) * (1.0 / rad)
+    front = d.dot(outward) < 0.0
+    normal = V3.select(front, outward, -outward)
+    theta = jnp.arccos(jnp.clip(-outward.y, -1.0, 1.0))
+    phi = jnp.arctan2(-outward.z, outward.x) + np.pi
+    uu = phi / (2.0 * np.pi)
+    vv = theta / np.pi
+    return p, normal, front, uu, vv, pack.mat[idx]
+
+
+def _planar_record(pack: packs.PlanarPack, idx, o: V3, d: V3, t):
+    """SoA planar hit record (quad/tri barycentrics; circle local frame)."""
+    q = V3(pack.q[:, 0][idx], pack.q[:, 1][idx], pack.q[:, 2][idx])
+    nrm = V3(pack.normal[:, 0][idx], pack.normal[:, 1][idx], pack.normal[:, 2][idx])
+    u_e = V3(pack.u[:, 0][idx], pack.u[:, 1][idx], pack.u[:, 2][idx])
+    v_e = V3(pack.v[:, 0][idx], pack.v[:, 1][idx], pack.v[:, 2][idx])
+    w = V3(pack.w[:, 0][idx], pack.w[:, 1][idx], pack.w[:, 2][idx])
+    rad = pack.radius[idx]
+    kind = pack.kind[idx]
+
+    p = o.at(d, t)
+    rel = p - q
+    alpha = w.dot(rel.cross(v_e))
+    beta = w.dot(u_e.cross(rel))
+
+    # Circle UV: local frame from the normal (rt/circle.go:58-71)
+    use_x = jnp.abs(nrm.y) > 0.9
+    ref_axis = V3.select(
+        use_x,
+        V3.from_tuple((1.0, 0.0, 0.0), like=V3(nrm.x, nrm.y, nrm.z)),
+        V3.from_tuple((0.0, 1.0, 0.0), like=V3(nrm.x, nrm.y, nrm.z)),
+    )
+    cu = ref_axis.cross(nrm).unit()
+    cv = nrm.cross(cu)
+    safe_rad = jnp.where(rad > 0, rad, 1.0)
+    cx = rel.dot(cu) / safe_rad
+    cy = rel.dot(cv) / safe_rad
+    circ_u = (cx + 1.0) * 0.5
+    circ_v = (cy + 1.0) * 0.5
+
+    uu = jnp.where(kind == packs.KIND_CIRCLE, circ_u,
+                   jnp.where(kind == packs.KIND_PLANE, 0.0, alpha))
+    vv = jnp.where(kind == packs.KIND_CIRCLE, circ_v,
+                   jnp.where(kind == packs.KIND_PLANE, 0.0, beta))
+
+    front = d.dot(nrm) < 0.0
+    normal = V3.select(front, nrm, -nrm)
+    return p, normal, front, uu, vv, pack.mat[idx]
+
+
+def extract_record(scene: Scene, o: V3, d: V3, tm, t, which, idx, aux):
+    """Hit record for the winning primitive per ray (SoA)."""
+    r = o.x.shape[0]
+    p = o.at(d, t)
+    normal = V3.full((r,), (1.0, 0.0, 0.0))  # volume normal (rt/volume.go:73)
     front = jnp.ones((r,), bool)
-    uu = jnp.zeros((r,), o.dtype)
-    vv = jnp.zeros((r,), o.dtype)
+    uu = jnp.zeros((r,), o.x.dtype)
+    vv = jnp.zeros((r,), o.x.dtype)
     mat_id = jnp.zeros((r,), jnp.int32)
 
     if scene.spheres.radius.shape[0] > 0:
-        sp, sn, sf, su, sv, sm = packs.sphere_hit_record(
-            scene.spheres, idx, o, d, tm, t
-        )
+        sp, sn, sf, su, sv, sm = _sphere_record(scene.spheres, idx, o, d, tm, t)
         m = which == HIT_SPHERE
-        p = jnp.where(m[:, None], sp, p)
-        normal = jnp.where(m[:, None], sn, normal)
+        p = V3.select(m, sp, p)
+        normal = V3.select(m, sn, normal)
         front = jnp.where(m, sf, front)
         uu = jnp.where(m, su, uu)
         vv = jnp.where(m, sv, vv)
         mat_id = jnp.where(m, sm, mat_id)
 
     if scene.planar.d.shape[0] > 0:
-        pp, pn, pf, pu, pv, pm = packs.planar_hit_record(scene.planar, idx, o, d, t)
+        pp, pn, pf, pu, pv, pm = _planar_record(scene.planar, idx, o, d, t)
         m = which == HIT_PLANAR
-        p = jnp.where(m[:, None], pp, p)
-        normal = jnp.where(m[:, None], pn, normal)
+        p = V3.select(m, pp, p)
+        normal = V3.select(m, pn, normal)
         front = jnp.where(m, pf, front)
         uu = jnp.where(m, pu, uu)
         vv = jnp.where(m, pv, vv)
         mat_id = jnp.where(m, pm, mat_id)
 
     for mi, proto in enumerate(scene.meshes):
-        mp, mn, mf, mu, mv, mm = mesh_bvh.mesh_hit_record(proto, idx, aux, o, d, t)
+        mp, mn, mf, mu, mv, mm = mesh_bvh.mesh_hit_record(
+            proto, idx, aux, o.rows(), d.rows(), t
+        )
         m = which == HIT_MESH_BASE + mi
-        p = jnp.where(m[:, None], mp, p)
-        normal = jnp.where(m[:, None], mn, normal)
+        p = V3.select(m, V3.from_rows(mp), p)
+        normal = V3.select(m, V3.from_rows(mn), normal)
         front = jnp.where(m, mf, front)
         uu = jnp.where(m, mu, uu)
         vv = jnp.where(m, mv, vv)
@@ -187,7 +311,8 @@ def extract_record(scene: Scene, o, d, tm, t, which, idx, aux):
     return p, normal, front, uu, vv, mat_id
 
 
-def occluded(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce, purpose_base):
+def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
+             purpose_base):
     """Shadow-ray test: anything (surface or stochastic medium) in
     (t_min, t_max)?  Mirrors world.Hit on shadow rays (rt/camera.go:582,639),
     which includes volumes."""
@@ -196,49 +321,51 @@ def occluded(scene: Scene, o, d, tm, t_min, t_max, seed, stream, bounce, purpose
     )
     blocked = h_s | h_p
     t_surf = jnp.minimum(
-        jnp.where(h_s, t_s, packs.BIG), jnp.where(h_p, t_p, packs.BIG)
+        jnp.where(h_s, t_s, BIG), jnp.where(h_p, t_p, BIG)
     )
     for proto in scene.meshes:
         t_m, _, _, h_m, _ = mesh_bvh.intersect_mesh(
-            proto, o, d, t_min, jnp.minimum(t_surf, t_max)
+            proto, o.rows(), d.rows(), t_min, jnp.minimum(t_surf, t_max)
         )
         blocked = blocked | h_m
         t_surf = jnp.where(h_m, jnp.minimum(t_surf, t_m), t_surf)
     if scene.n_volumes > 0:
         u_vol = _volume_uniforms(seed, stream, bounce, purpose_base, scene.n_volumes)
         t_limit = jnp.minimum(t_surf, t_max)
-        _, _, h_v = packs.sample_volumes(scene.volumes, o, d, t_min, t_limit, u_vol)
+        _, _, h_v = _sample_volumes(scene.volumes, o, d, t_min, t_limit, u_vol)
         blocked = blocked | h_v
     return blocked
 
 
-def _clamp_contribution(c):
-    return jnp.minimum(c, FIREFLY_CLAMP)
+# -----------------------------------------------------------------------------
+# NEE / MIS
+# -----------------------------------------------------------------------------
 
-
-def sample_area_light(scene: Scene, cam, p, normal, ray_d, attenuation, mat_id,
-                      seed, stream, bounce):
+def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
+                      attenuation: V3, mat_id, seed, stream, bounce) -> V3:
     """NEE toward one uniformly chosen registered quad light
-    (rt/camera.go:609-678).  Returns [R,3] contribution (no throughput)."""
+    (rt/camera.go:609-678).  Returns V3 contribution (no throughput)."""
     n_lights = scene.n_lights
     u_pick = rngmod.uniform(seed, stream, bounce, rngmod.LIGHT_PICK)
-    li = jnp.minimum(
-        (u_pick * n_lights).astype(jnp.int32), n_lights - 1
-    )
+    li = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
 
     a_s, b_s = rngmod.uniform2(seed, stream, bounce, rngmod.LIGHT_U)
-    lq = scene.light_q[li]
-    lu = scene.light_u[li]
-    lv = scene.light_v[li]
-    lnrm = scene.light_normal[li]
+    lq = V3(scene.light_q[:, 0][li], scene.light_q[:, 1][li], scene.light_q[:, 2][li])
+    lu = V3(scene.light_u[:, 0][li], scene.light_u[:, 1][li], scene.light_u[:, 2][li])
+    lv = V3(scene.light_v[:, 0][li], scene.light_v[:, 1][li], scene.light_v[:, 2][li])
+    lnrm = V3(
+        scene.light_normal[:, 0][li],
+        scene.light_normal[:, 1][li],
+        scene.light_normal[:, 2][li],
+    )
     larea = scene.light_area[li]
 
-    light_point = lq + a_s[:, None] * lu + b_s[:, None] * lv
+    light_point = lq + lu * a_s + lv * b_s
     to_light = light_point - p
-    dist = vec.length(to_light)
-    light_dir = vec.unit(to_light)
+    dist = to_light.length()
+    light_dir = to_light.unit()
 
-    cos_theta = vec.dot(normal, light_dir)
+    cos_theta = normal.dot(light_dir)
     facing = cos_theta > 0.0
 
     blocked = occluded(
@@ -253,63 +380,63 @@ def sample_area_light(scene: Scene, cam, p, normal, ray_d, attenuation, mat_id,
         **scene.tex_flags,
     )
 
-    cos_light = jnp.abs(vec.dot(lnrm, -light_dir))
+    cos_light = jnp.abs(lnrm.dot(-light_dir))
     grazing = cos_light < 1e-3  # rt/camera.go:651
     pdf_light = (dist * dist) / jnp.maximum(cos_light * larea, 1e-20)
 
-    wi = vec.unit(-ray_d)
+    wi = (-ray_d).unit()
     pdf_brdf = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
-    # Safe divisions: lanes masked below (e.g. the shading point ON the
-    # light, dist ~ 0) must not produce inf/NaN in the primal — masked
-    # infinities poison the backward pass (0 * inf).
+    # Safe divisions: lanes masked below must not produce inf/NaN in the
+    # primal (masked infinities poison the backward pass: 0 * inf).
     weight = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-20)
 
-    contrib = emission * (cos_theta / jnp.maximum(pdf_light, 1e-12) * weight)[:, None]
-    contrib = contrib * attenuation * float(n_lights)
-    contrib = _clamp_contribution(contrib)
+    scale = cos_theta / jnp.maximum(pdf_light, 1e-12) * weight * float(n_lights)
+    contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
     ok = facing & ~blocked & ~grazing
-    return jnp.where(ok[:, None], contrib, 0.0)
+    return V3.select(ok, contrib, V3.zeros(ok.shape))
 
 
-def sample_hdri_light(scene: Scene, cam, p, normal, ray_d, attenuation, mat_id,
-                      seed, stream, bounce):
+def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
+                      attenuation: V3, mat_id, seed, stream, bounce) -> V3:
     """NEE toward the HDRI via importance sampling (rt/camera.go:565-607)."""
     xi1 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_ROW)
     xi2 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_COL)
-    light_dir, emission, pdf_h = hdri_mod.sample_direction(scene.env, xi1, xi2)
+    light_dir, emission, pdf_h = hdri_mod.sample_direction_soa(scene.env, xi1, xi2)
 
-    cos_theta = vec.dot(normal, light_dir)
+    cos_theta = normal.dot(light_dir)
     facing = cos_theta > 0.0
 
+    r = p.x.shape[0]
     blocked = occluded(
-        scene, p, light_dir, jnp.zeros(p.shape[0], p.dtype), SHADOW_EPS,
-        jnp.full(p.shape[0], packs.BIG), seed, stream, bounce,
-        PURPOSE_VOL_SHADOW_HDRI,
+        scene, p, light_dir, jnp.zeros((r,), p.x.dtype), SHADOW_EPS,
+        jnp.full((r,), BIG), seed, stream, bounce, PURPOSE_VOL_SHADOW_HDRI,
     )
 
-    wi = vec.unit(-ray_d)
+    wi = (-ray_d).unit()
     pdf_b = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
-    weight = pdf_h / (pdf_h + pdf_b)
-    contrib = emission * (cos_theta / pdf_h * weight)[:, None] * attenuation
-    contrib = _clamp_contribution(contrib)
+    weight = pdf_h / jnp.maximum(pdf_h + pdf_b, 1e-20)
+    scale = cos_theta / jnp.maximum(pdf_h, 1e-12) * weight
+    contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
     ok = facing & ~blocked
-    return jnp.where(ok[:, None], contrib, 0.0)
+    return V3.select(ok, contrib, V3.zeros(ok.shape))
 
 
-def _miss_radiance(scene: Scene, cam: Camera, d, bounce):
+def _miss_radiance(scene: Scene, cam: Camera, d: V3, bounce) -> V3:
     """Environment / sky gradient / flat background (rt/camera.go:452-466)."""
     if scene.env is not None:
-        col = hdri_mod.sample(scene.env, d)
+        col = hdri_mod.sample_soa(scene.env, d)
         if cam.phantom_hdri:
-            col = jnp.where(jnp.equal(bounce, 0), jnp.zeros_like(col), col)
+            col = V3.select(jnp.equal(bounce, 0), V3.zeros(col.x.shape), col)
         return col
     if cam.use_sky_gradient:
-        unit_d = vec.unit(d)
-        a = 0.5 * (unit_d[:, 1] + 1.0)
-        white = jnp.ones(3, d.dtype)
-        blue = jnp.asarray([0.5, 0.7, 1.0], d.dtype)
-        return (1.0 - a)[:, None] * white + a[:, None] * blue
-    return jnp.broadcast_to(jnp.asarray(cam.background, d.dtype), d.shape)
+        unit_d = d.unit()
+        a = 0.5 * (unit_d.y + 1.0)
+        return V3(
+            (1.0 - a) + a * 0.5,
+            (1.0 - a) + a * 0.7,
+            (1.0 - a) + a * 1.0,
+        )
+    return V3.full(d.x.shape, cam.background, d.x.dtype)
 
 
 def _vma_of(x):
@@ -320,17 +447,28 @@ def _vma_of(x):
 
 
 def _promote_vma(x, axes):
-    """Add any missing varying-manual-axes (shard_map mesh axes) to x."""
-    missing = tuple(axes - _vma_of(x))
-    if missing:
-        return jax.lax.pvary(x, missing)
-    return x
+    """Add any missing varying-manual-axes (shard_map mesh axes) to a tree."""
+
+    def one(v):
+        missing = tuple(axes - _vma_of(v))
+        if missing:
+            return jax.lax.pvary(v, missing)
+        return v
+
+    return jax.tree_util.tree_map(one, x)
 
 
 def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
-    """Radiance for a ray megabatch. o/d [R,3], tm/stream [R] -> [R,3]."""
-    r = o.shape[0]
-    f32 = o.dtype
+    """Radiance for a ray megabatch.
+
+    o/d: V3 (or [R,3] arrays, converted); tm/stream [R].  Returns V3.
+    """
+    if not isinstance(o, V3):
+        o = V3.from_rows(o)
+    if not isinstance(d, V3):
+        d = V3.from_rows(d)
+    r = o.x.shape[0]
+    f32 = o.x.dtype
 
     use_nee = scene.n_lights > 0  # len(c.Lights) > 0 (rt/camera.go:487-489)
     hdri_nee = use_nee and scene.env is not None and scene.env_importance
@@ -339,15 +477,16 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
         o, d, throughput, radiance, alive, allow_light = carry
 
         t, which, idx, aux = closest_hit(
-            scene, o, d, tm, vec.EPS_HIT, jnp.full((r,), packs.BIG, f32),
+            scene, o, d, tm, vec.EPS_HIT, jnp.full((r,), BIG, f32),
             seed, stream, bounce,
         )
         hit = which != HIT_NONE
 
         # --- miss ---------------------------------------------------------
         miss_col = _miss_radiance(scene, cam, d, bounce)
-        radiance = radiance + jnp.where(
-            (alive & ~hit)[:, None], throughput * miss_col, 0.0
+        lit = alive & ~hit
+        radiance = radiance + V3.select(
+            lit, throughput * miss_col, V3.zeros(lit.shape)
         )
 
         # Miss lanes carry t = BIG; o + BIG*d overflows to inf and would
@@ -363,12 +502,13 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
         )
 
         # --- emission (iff allow_light_hits, rt/camera.go:473-481) --------
-        radiance = radiance + jnp.where(
-            (alive & hit & allow_light)[:, None], throughput * sc.emitted, 0.0
+        emit_mask = alive & hit & allow_light
+        radiance = radiance + V3.select(
+            emit_mask, throughput * sc.emitted, V3.zeros(emit_mask.shape)
         )
 
         # --- NEE + MIS ----------------------------------------------------
-        use_mis = alive & False  # all-False with alive's vma
+        use_mis = alive & False
         if use_nee:
             use_mis = sc.can_use_nee & alive & hit
             direct = sample_area_light(
@@ -380,32 +520,34 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
                     scene, cam, p, normal, d, sc.attenuation, mat_id,
                     seed, stream, bounce,
                 )
-            radiance = radiance + jnp.where(
-                use_mis[:, None], throughput * direct, 0.0
+            radiance = radiance + V3.select(
+                use_mis, throughput * direct, V3.zeros(use_mis.shape)
             )
 
         # --- continue the path -------------------------------------------
         alive = alive & hit & sc.scattered
-        throughput = jnp.where(alive[:, None], throughput * sc.attenuation, throughput)
-        o = jnp.where(alive[:, None], p, o)
-        d = jnp.where(alive[:, None], sc.direction, d)
+        throughput = V3.select(alive, throughput * sc.attenuation, throughput)
+        o = V3.select(alive, p, o)
+        d = V3.select(alive, sc.direction, d)
         allow_light = ~use_mis  # rt/camera.go:493 vs :514
 
         return (o, d, throughput, radiance, alive, allow_light), None
 
     # Inside shard_map the scan carry must have consistent varying-manual-
     # axes: promote every component to the union of the ray inputs' vma.
-    axes = _vma_of(o) | _vma_of(d) | _vma_of(tm) | _vma_of(stream)
-    init = tuple(
-        _promote_vma(x, axes)
-        for x in (
+    axes = (
+        _vma_of(o.x) | _vma_of(d.x) | _vma_of(tm) | _vma_of(stream)
+    )
+    init = _promote_vma(
+        (
             o,
             d,
-            jnp.ones((r, 3), f32),
-            jnp.zeros((r, 3), f32),
+            V3.full((r,), (1.0, 1.0, 1.0), f32),
+            V3.zeros((r,), f32),
             jnp.ones((r,), bool),
             jnp.ones((r,), bool),
-        )
+        ),
+        axes,
     )
     bounces = jnp.arange(cam.max_depth, dtype=jnp.uint32)
     (o, d, throughput, radiance, alive, allow_light), _ = lax.scan(

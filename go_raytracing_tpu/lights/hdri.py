@@ -178,3 +178,77 @@ def sample_direction(env: Environment, xi1, xi2):
     d = uv_to_direction(env, u, v)
     emission = env.data[y, x]
     return d, emission, pdf(env, d)
+
+
+# -----------------------------------------------------------------------------
+# Component-SoA variants (hot path; see core/vec3.py for why)
+# -----------------------------------------------------------------------------
+
+def _direction_to_uv_soa(env: Environment, d):
+    du = d.unit()
+    phi = jnp.arctan2(du.z, du.x)
+    theta = jnp.arcsin(jnp.clip(du.y, -1.0, 1.0))
+    u = 0.5 + phi / TWO_PI + env.rotation / TWO_PI
+    u = u - jnp.floor(u)
+    v = 0.5 - theta / np.pi
+    return u, v
+
+
+def sample_soa(env: Environment, d):
+    """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp)."""
+    from ..core.vec3 import V3
+
+    h, w = env.data.shape[:2]
+    u, v = _direction_to_uv_soa(env, d)
+    px = u * w - 0.5
+    py = v * h - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = px - x0.astype(px.dtype)
+    fy = py - y0.astype(py.dtype)
+    x0w = jnp.mod(x0, w)
+    x1w = jnp.mod(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+
+    def texel(yy, xx):
+        return V3(env.data[yy, xx, 0], env.data[yy, xx, 1], env.data[yy, xx, 2])
+
+    c00 = texel(y0c, x0w)
+    c10 = texel(y0c, x1w)
+    c01 = texel(y1c, x0w)
+    c11 = texel(y1c, x1w)
+    c0 = c00 * (1.0 - fx) + c10 * fx
+    c1 = c01 * (1.0 - fx) + c11 * fx
+    return c0 * (1.0 - fy) + c1 * fy
+
+
+def pdf_soa(env: Environment, d):
+    h, w = env.data.shape[:2]
+    u, v = _direction_to_uv_soa(env, d)
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    theta = (0.5 - v) * np.pi
+    sin_theta = jnp.maximum(jnp.cos(theta), 1e-10)
+    p = env.pdf[y, x] * (w * h) / (2.0 * np.pi * np.pi * sin_theta)
+    return jnp.maximum(p, 1e-10)
+
+
+def sample_direction_soa(env: Environment, xi1, xi2):
+    """SoA importance sampling: returns (V3 dir, V3 emission, pdf [R])."""
+    from ..core.vec3 import V3
+
+    h, w = env.data.shape[:2]
+    y = _search_cdf_1d(env.marginal_cdf, xi1, h)
+    x = _search_cdf_rows(env.conditional_cdf, y, xi2, w)
+    u = (x.astype(jnp.float32) + 0.5) / w
+    v = (y.astype(jnp.float32) + 0.5) / h
+    # uv -> direction (rt/hdri.go:96-113)
+    uu = u - env.rotation / TWO_PI
+    uu = uu - jnp.floor(uu)
+    phi = (uu - 0.5) * TWO_PI
+    theta = (0.5 - v) * np.pi
+    ct = jnp.cos(theta)
+    d = V3(ct * jnp.cos(phi), jnp.sin(theta), ct * jnp.sin(phi))
+    emission = V3(env.data[y, x, 0], env.data[y, x, 1], env.data[y, x, 2])
+    return d, emission, pdf_soa(env, d)

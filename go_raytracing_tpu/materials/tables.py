@@ -1,8 +1,10 @@
-"""Material tables and branchless scatter evaluation.
+"""Material tables and branchless scatter evaluation (component SoA).
 
 The reference's ``Material`` interface with dynamic dispatch
 (rt/material.go:9-27) becomes a dense parameter table plus a masked-select
-scatter kernel evaluated for the whole ray wavefront at once.
+scatter kernel evaluated for the whole ray wavefront at once.  All vectors
+are ``core.vec3.V3`` component SoA (see core/vec3.py for the TPU layout
+rationale).
 
 Kinds and parity:
   - LAMBERTIAN: scatter = normal + random_unit (NOT normalized), near-zero
@@ -27,7 +29,8 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import vec, rng as rngmod
+from ..core import rng as rngmod
+from ..core.vec3 import V3
 from . import textures as tex
 
 MAT_LAMBERTIAN = 0
@@ -45,10 +48,10 @@ class MaterialPack(NamedTuple):
 
 
 class ScatterResult(NamedTuple):
-    direction: jnp.ndarray    # [R, 3] new ray direction (unnormalized, as reference)
-    attenuation: jnp.ndarray  # [R, 3]
-    emitted: jnp.ndarray      # [R, 3]
-    scattered: jnp.ndarray    # [R] bool — False for lights and absorbed metal rays
+    direction: V3     # new ray direction (unnormalized, as reference)
+    attenuation: V3
+    emitted: V3
+    scattered: jnp.ndarray    # [R] bool — False for lights / absorbed metal
     can_use_nee: jnp.ndarray  # [R] bool — Lambertian only
 
 
@@ -56,88 +59,76 @@ def can_use_nee_table(pack: MaterialPack):
     return pack.kind == MAT_LAMBERTIAN
 
 
-def emitted(pack: MaterialPack, tpack: tex.TexturePack, mat_id, u, v, p, **tex_flags):
+def emitted(pack: MaterialPack, tpack: tex.TexturePack, mat_id, u, v, p: V3,
+            **tex_flags) -> V3:
     """Emission per ray: nonzero only for DIFFUSE_LIGHT (value = its texture)."""
     is_light = pack.kind[mat_id] == MAT_DIFFUSE_LIGHT
     val = tex.evaluate(tpack, pack.tex[mat_id], u, v, p, **tex_flags)
-    return jnp.where(is_light[:, None], val, 0.0)
+    return V3.select(is_light, val, V3.zeros(is_light.shape))
 
 
-def scatter(
-    pack: MaterialPack,
-    tpack: tex.TexturePack,
-    mat_id,
-    ray_d,
-    normal,
-    front_face,
-    u,
-    v,
-    p,
-    seed,
-    stream,
-    bounce,
-    **tex_flags,
-):
-    """Branchless scatter for the whole wavefront.
-
-    ray_d: incoming direction [R,3] (unnormalized); normal: facing normal;
-    Returns ScatterResult.  Uses RNG purposes SCATTER_U/SCATTER_V (unit
-    vector) and FRESNEL (dielectric reflect/refract coin).
-    """
+def scatter(pack: MaterialPack, tpack: tex.TexturePack, mat_id,
+            ray_d: V3, normal: V3, front_face, u, v, p: V3,
+            seed, stream, bounce, **tex_flags) -> ScatterResult:
+    """Branchless scatter for the whole wavefront."""
     kind = pack.kind[mat_id]
     fuzz = pack.fuzz[mat_id]
     ior = pack.ior[mat_id]
 
     su1, su2, _ = rngmod.uniform3(seed, stream, bounce, rngmod.SCATTER_U)
-    rand_unit = rngmod.unit_vector_from_uniforms(su1, su2)
+    z = 1.0 - 2.0 * su1
+    phi = (2.0 * np.pi) * su2
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    rand_unit = V3(rr * jnp.cos(phi), rr * jnp.sin(phi), z)
     u_fresnel = rngmod.uniform(seed, stream, bounce, rngmod.FRESNEL)
 
     albedo = tex.evaluate(tpack, pack.tex[mat_id], u, v, p, **tex_flags)
 
     # --- Lambertian ---------------------------------------------------------
     lam_dir = normal + rand_unit
-    lam_dir = jnp.where(vec.near_zero(lam_dir)[:, None], normal, lam_dir)
+    lam_dir = V3.select(lam_dir.near_zero(), normal, lam_dir)
 
     # --- Metal --------------------------------------------------------------
-    reflected = vec.unit(vec.reflect(ray_d, normal)) + fuzz[:, None] * rand_unit
-    metal_ok = vec.dot(reflected, normal) > 0.0
+    reflected = ray_d.reflect(normal).unit() + rand_unit * fuzz
+    metal_ok = reflected.dot(normal) > 0.0
 
     # --- Dielectric ---------------------------------------------------------
     ri = jnp.where(front_face, 1.0 / ior, ior)
-    unit_d = vec.unit(ray_d)
-    cos_theta = jnp.minimum(vec.dot(-unit_d, normal), 1.0)
+    unit_d = ray_d.unit()
+    cos_theta = jnp.minimum((-unit_d).dot(normal), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     cannot_refract = ri * sin_theta > 1.0
     r0 = (1.0 - ri) / (1.0 + ri)
     r0 = r0 * r0
-    schlick = r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cos_theta, 0.0), 5.0)
+    one_m_cos = jnp.maximum(1.0 - cos_theta, 0.0)
+    omc2 = one_m_cos * one_m_cos
+    schlick = r0 + (1.0 - r0) * (omc2 * omc2 * one_m_cos)
     do_reflect = cannot_refract | (schlick > u_fresnel)
-    refr = vec.refract(unit_d, normal, ri)
-    refl = vec.reflect(unit_d, normal)
-    diel_dir = jnp.where(do_reflect[:, None], refl, refr)
+    refr = unit_d.refract(normal, ri)
+    refl = unit_d.reflect(normal)
+    diel_dir = V3.select(do_reflect, refl, refr)
 
     # --- Select by kind -----------------------------------------------------
-    k = kind[:, None]
-    direction = jnp.where(
-        k == MAT_LAMBERTIAN,
+    direction = V3.select(
+        kind == MAT_LAMBERTIAN,
         lam_dir,
-        jnp.where(
-            k == MAT_METAL,
+        V3.select(
+            kind == MAT_METAL,
             reflected,
-            jnp.where(k == MAT_DIELECTRIC, diel_dir, rand_unit),  # isotropic
+            V3.select(kind == MAT_DIELECTRIC, diel_dir, rand_unit),  # isotropic
         ),
     )
-    attenuation = jnp.where(
-        k == MAT_DIELECTRIC,
-        jnp.ones_like(albedo),
-        albedo,
+    attenuation = V3.select(
+        kind == MAT_DIELECTRIC, V3.full(kind.shape, (1.0, 1.0, 1.0)), albedo
     )
     scattered = jnp.where(
         kind == MAT_DIFFUSE_LIGHT,
         False,
         jnp.where(kind == MAT_METAL, metal_ok, True),
     )
-    emitted_col = jnp.where((kind == MAT_DIFFUSE_LIGHT)[:, None], albedo, 0.0)
+    emitted_col = V3.select(
+        kind == MAT_DIFFUSE_LIGHT, albedo, V3.zeros(kind.shape)
+    )
     return ScatterResult(
         direction=direction,
         attenuation=attenuation,
@@ -147,7 +138,7 @@ def scatter(
     )
 
 
-def brdf_pdf(pack: MaterialPack, mat_id, wi, wo, normal):
+def brdf_pdf(pack: MaterialPack, mat_id, wi: V3, wo: V3, normal: V3):
     """PDF(wi, wo, n) for the MIS weight (PDFEvaluator, rt/material.go:15-17).
 
     wi: unit vector toward the viewer (-ray_dir), wo: light direction.
@@ -157,11 +148,11 @@ def brdf_pdf(pack: MaterialPack, mat_id, wi, wo, normal):
     kind = pack.kind[mat_id]
     fuzz = pack.fuzz[mat_id]
 
-    cos_theta = vec.dot(normal, wo)
+    cos_theta = normal.dot(wo)
     lam_pdf = jnp.maximum(cos_theta, 0.0) / np.pi
 
-    refl = vec.reflect(-wi, normal)
-    cos_alpha = vec.dot(refl, wo)
+    refl = (-wi).reflect(normal)
+    cos_alpha = refl.dot(wo)
     exponent = (1.0 - fuzz) * 50.0
     phong = (exponent + 1.0) / (2.0 * np.pi) * jnp.power(
         jnp.maximum(cos_alpha, 1e-20), exponent

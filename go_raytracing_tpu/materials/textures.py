@@ -104,29 +104,41 @@ def perlin_turb(tables: PerlinTables, p, depth: int = 7):
     return jnp.abs(accum)
 
 
+def _gather_v3(table, idx):
+    """[T,3] table gathered by [R] idx -> V3 (per-component gathers keep
+    everything in dense [R] layout — no padded [R,3] intermediates)."""
+    from ..core.vec3 import V3
+
+    return V3(table[:, 0][idx], table[:, 1][idx], table[:, 2][idx])
+
+
 def evaluate(pack: TexturePack, tex_id, u, v, p, *, has_noise=True, has_image=True):
-    """Texture value for each ray: tex_id [R] i32, u/v [R], p [R,3] -> [R,3].
+    """Texture value for each ray: tex_id [R] i32, u/v [R], p: V3 -> V3.
 
     ``has_noise`` / ``has_image`` are static flags letting scenes without
     those texture kinds skip the (comparatively expensive) evaluations.
     """
+    from ..core.vec3 import V3
+
     kind = pack.kind[tex_id]
-    out = pack.color[tex_id]
+    out = _gather_v3(pack.color, tex_id)
 
     # Checker (rt/texture.go:63-77)
     inv_scale = pack.inv_scale[tex_id]
-    lattice = jnp.floor(inv_scale[:, None] * p + 1e-4).astype(jnp.int32)
-    is_even = (lattice[:, 0] + lattice[:, 1] + lattice[:, 2]) % 2 == 0
-    checker = jnp.where(
-        is_even[:, None], pack.even_color[tex_id], pack.odd_color[tex_id]
+    lx = jnp.floor(inv_scale * p.x + 1e-4).astype(jnp.int32)
+    ly = jnp.floor(inv_scale * p.y + 1e-4).astype(jnp.int32)
+    lz = jnp.floor(inv_scale * p.z + 1e-4).astype(jnp.int32)
+    is_even = (lx + ly + lz) % 2 == 0
+    checker = V3.select(
+        is_even, _gather_v3(pack.even_color, tex_id), _gather_v3(pack.odd_color, tex_id)
     )
-    out = jnp.where((kind == TEX_CHECKER)[:, None], checker, out)
+    out = V3.select(kind == TEX_CHECKER, checker, out)
 
     if has_noise:
         scale = pack.noise_scale[tex_id]
-        s = scale * p[:, 2] + 10.0 * perlin_turb(pack.perlin, p * scale[:, None], 7)
+        s = scale * p.z + 10.0 * perlin_turb_soa(pack.perlin, p * scale, 7)
         marble = 0.5 * (1.0 + jnp.sin(s))
-        out = jnp.where((kind == TEX_NOISE)[:, None], marble[:, None], out)
+        out = V3.select(kind == TEX_NOISE, V3(marble, marble, marble), out)
 
     if has_image:
         img = pack.image_id[tex_id]
@@ -136,7 +148,50 @@ def evaluate(pack: TexturePack, tex_id, u, v, p, *, has_noise=True, has_image=Tr
         vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip v (rt/image_texture.go:33)
         xi = jnp.clip((uc * w.astype(u.dtype)).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip((vc * h.astype(u.dtype)).astype(jnp.int32), 0, h - 1)
-        texel = pack.atlas[img, yi, xi]
-        out = jnp.where((kind == TEX_IMAGE)[:, None], texel, out)
+        texel = V3(
+            pack.atlas[img, yi, xi, 0],
+            pack.atlas[img, yi, xi, 1],
+            pack.atlas[img, yi, xi, 2],
+        )
+        out = V3.select(kind == TEX_IMAGE, texel, out)
 
     return out
+
+
+def perlin_noise_soa(tables: PerlinTables, p):
+    """SoA gradient noise (rt/noise.go:29-56): p is a V3 of [R] arrays."""
+    fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
+    u, v, w = p.x - fx, p.y - fy, p.z - fz
+    i = fx.astype(jnp.int32)
+    j = fy.astype(jnp.int32)
+    k = fz.astype(jnp.int32)
+
+    accum = jnp.zeros_like(p.x)
+    for di in range(2):
+        for dj in range(2):
+            for dk in range(2):
+                hx = tables.perm_x[(i + di) & 255]
+                hy = tables.perm_y[(j + dj) & 255]
+                hz = tables.perm_z[(k + dk) & 255]
+                g = hx ^ hy ^ hz
+                gx = tables.randvec[:, 0][g]
+                gy = tables.randvec[:, 1][g]
+                gz = tables.randvec[:, 2][g]
+                dot = gx * (u - di) + gy * (v - dj) + gz * (w - dk)
+                wu = di * u + (1 - di) * (1.0 - u)
+                wv = dj * v + (1 - dj) * (1.0 - v)
+                ww = dk * w + (1 - dk) * (1.0 - w)
+                accum = accum + wu * wv * ww * dot
+    return accum
+
+
+def perlin_turb_soa(tables: PerlinTables, p, depth: int = 7):
+    """|fBm| turbulence, SoA (rt/noise.go:58-68)."""
+    accum = jnp.zeros_like(p.x)
+    weight = 1.0
+    pt = p
+    for _ in range(depth):
+        accum = accum + weight * perlin_noise_soa(tables, pt)
+        weight *= 0.5
+        pt = pt * 2.0
+    return jnp.abs(accum)

@@ -134,15 +134,25 @@ def _planar_kernel(n_prims_ref,
     idx_out[...] = idx_best
 
 
+def _components(v):
+    """Accept either a V3 or an [R,3] array."""
+    from ..core.vec3 import V3
+
+    if isinstance(v, V3):
+        return v.x, v.y, v.z
+    return v[:, 0], v[:, 1], v[:, 2]
+
+
 @functools.partial(jax.jit, static_argnames=("t_min", "block_rows"))
 def planar_closest(pack: packs.PlanarPack, o, d, t_max, *, t_min=1e-3,
                    block_rows=DEFAULT_BLOCK_ROWS):
     """Closest planar hit via the pallas kernel. Returns (t, idx, hit)."""
-    r = o.shape[0]
+    ox_, oy_, oz_ = _components(o)
+    dx_, dy_, dz_ = _components(d)
+    r = ox_.shape[0]
     block = block_rows * LANES
     rays, padded = _pad_rays(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         jnp.where(t_max >= BIG, BIG, t_max)],
+        [ox_, oy_, oz_, dx_, dy_, dz_, jnp.where(t_max >= BIG, BIG, t_max)],
         block,
     )
     vxw = jnp.cross(pack.v, pack.w)
@@ -236,10 +246,12 @@ def _sphere_kernel(n_prims_ref,
 def sphere_closest(pack: packs.SpherePack, o, d, tm, t_max, *, t_min=1e-3,
                    block_rows=DEFAULT_BLOCK_ROWS):
     """Closest sphere hit via the pallas kernel. Returns (t, idx, hit)."""
-    r = o.shape[0]
+    ox_, oy_, oz_ = _components(o)
+    dx_, dy_, dz_ = _components(d)
+    r = ox_.shape[0]
     block = block_rows * LANES
     rays, padded = _pad_rays(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm,
+        [ox_, oy_, oz_, dx_, dy_, dz_, tm,
          jnp.where(t_max >= BIG, BIG, t_max)],
         block,
     )

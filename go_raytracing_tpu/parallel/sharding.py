@@ -72,8 +72,8 @@ def _device_accum(scene, cam: Camera, start, count: int, spp: int, seed):
     stream = ids  # spp-independent (see renderer._render_chunk)
     o, d, tm = generate_rays(cam, px, py, stream, seed)
     radiance = wavefront.trace(scene, cam, o, d, tm, stream, seed)
-    radiance = jnp.where(valid[:, None], radiance, 0.0)
-    return jnp.zeros((n_pixels, 3), jnp.float32).at[pixel].add(radiance)
+    rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
+    return jnp.zeros((n_pixels, 3), jnp.float32).at[pixel].add(rows)
 
 
 @partial(jax.jit, static_argnames=("cam", "spp", "mesh"))

@@ -49,7 +49,19 @@ def _scene_prim_count(scene: Scene) -> int:
 
 def pick_chunk_size(scene: Scene, *, pair_budget: int = DEFAULT_PAIR_BUDGET,
                     max_rays: int = 1 << 20) -> int:
-    n = max(_scene_prim_count(scene), 1)
+    from ..ops import pallas_intersect as _pk
+
+    if _pk.enabled():
+        # Pallas kernels never materialize [R, N] pair buffers, so only
+        # volumes/meshes bound memory; amortize the per-dispatch floor
+        # with much larger launches.
+        n = max(
+            scene.volumes.neg_inv_density.shape[0] * 4 + 256 * len(scene.meshes),
+            16,
+        )
+        max_rays = 1 << 22
+    else:
+        n = max(_scene_prim_count(scene), 1)
     chunk = min(max_rays, max(pair_budget // n, 4096))
     return int(max(1024, (chunk // 1024) * 1024))
 
@@ -78,8 +90,8 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
     cam2 = dataclasses.replace(cam, max_depth=max_depth)
     o, d, tm = generate_rays(cam2, px, py, stream, seed)
     radiance = wavefront.trace(scene, cam2, o, d, tm, stream, seed)
-    radiance = jnp.where(valid[:, None], radiance, 0.0)
-    return accum.at[pixel].add(radiance)
+    rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
+    return accum.at[pixel].add(rows)
 
 
 @dataclasses.dataclass

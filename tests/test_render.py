@@ -92,7 +92,7 @@ def test_motion_blur_camera_path():
     py = jnp.zeros(4096, jnp.int32) + 6
     stream = jnp.arange(4096, dtype=jnp.uint32)
     o, d, tm = generate_rays(cam, px, py, stream, 0)
-    o, tm = np.asarray(o), np.asarray(tm)
+    o, tm = np.asarray(o.rows()), np.asarray(tm)
     early = o[tm < 0.05]
     late = o[tm > 0.95]
     assert len(early) > 20 and len(late) > 20
