@@ -257,24 +257,50 @@ def intersect_mesh(proto: MeshProto, o, d, t_min, t_max, *, cap_factor: int = 8)
 
     o, d: [R, 3] world rays; t_max: [R] current closest-surface bound.
     Returns (t [R], tri [R] i32, inst [R] i32, hit [R], overflow scalar).
+
+    All pair intermediates are *per-component* 2-D arrays ([P] or [P, B] /
+    [P, L]) — never [..., 3]: the trailing-3 layout lane-pads 42x on TPU
+    and at frontier scale (P*L can reach 10^8) that padded gather output
+    alone would exceed HBM.
     """
     r_count = o.shape[0]
     n_inst = proto.n_instances
     f32 = o.dtype
 
-    # Local-space rays per instance: [I, R, 3]
-    rot = proto.inst_w2l[:, :, :3]
-    trn = proto.inst_w2l[:, :, 3]
-    o_l = jnp.einsum("nij,rj->nri", rot, o) + trn[:, None, :]
-    d_l = jnp.einsum("nij,rj->nri", rot, d)
-    safe = jnp.where(jnp.abs(d_l) < 1e-12, jnp.where(d_l < 0, -1e-12, 1e-12), d_l)
-    inv_l = 1.0 / safe
+    # Local-space rays per instance: 3 components of [I, R]
+    m = proto.inst_w2l  # [I, 3, 4]
+    oc = [o[:, 0], o[:, 1], o[:, 2]]
+    dc = [d[:, 0], d[:, 1], d[:, 2]]
+    o_l = []
+    d_l = []
+    inv_l = []
+    for i in range(3):
+        ol_i = (
+            m[:, i, 0][:, None] * oc[0][None, :]
+            + m[:, i, 1][:, None] * oc[1][None, :]
+            + m[:, i, 2][:, None] * oc[2][None, :]
+            + m[:, i, 3][:, None]
+        )
+        dl_i = (
+            m[:, i, 0][:, None] * dc[0][None, :]
+            + m[:, i, 1][:, None] * dc[1][None, :]
+            + m[:, i, 2][:, None] * dc[2][None, :]
+        )
+        safe = jnp.where(jnp.abs(dl_i) < 1e-12, jnp.where(dl_i < 0, -1e-12, 1e-12), dl_i)
+        o_l.append(ol_i)
+        d_l.append(dl_i)
+        inv_l.append(1.0 / safe)
 
     # Level 0 frontier: (ray, inst) pairs whose instance root box is hit
-    hit_root, _ = _slab(
-        proto.root_bbox_min, proto.root_bbox_max, o_l, inv_l,
-        t_min, t_max[None, :],
-    )  # [I, R]
+    near = jnp.full((n_inst, r_count), t_min, f32)
+    far = jnp.broadcast_to(t_max[None, :], (n_inst, r_count))
+    for i in range(3):
+        ta = (proto.root_bbox_min[i] - o_l[i]) * inv_l[i]
+        tb = (proto.root_bbox_max[i] - o_l[i]) * inv_l[i]
+        near = jnp.maximum(near, jnp.minimum(ta, tb))
+        far = jnp.minimum(far, jnp.maximum(ta, tb))
+    hit_root = far > near
+
     ray0 = jnp.broadcast_to(jnp.arange(r_count, dtype=jnp.int32)[None, :], (n_inst, r_count)).reshape(-1)
     inst0 = jnp.broadcast_to(jnp.arange(n_inst, dtype=jnp.int32)[:, None], (n_inst, r_count)).reshape(-1)
     cap = int(r_count * cap_factor)
@@ -286,17 +312,29 @@ def intersect_mesh(proto: MeshProto, o, d, t_min, t_max, *, cap_factor: int = 8)
     )
     total_overflow = overflow
 
+    def pair_rays(ray_safe, inst_f):
+        flat = inst_f * r_count + ray_safe
+        op = [c.reshape(-1)[flat] for c in o_l]
+        ip = [c.reshape(-1)[flat] for c in inv_l]
+        dp = [c.reshape(-1)[flat] for c in d_l]
+        return op, ip, dp
+
     # Internal levels
     for k in range(proto.depth):
         valid_f = ray_f >= 0
         ray_safe = jnp.maximum(ray_f, 0)
-        bmin = proto.level_bbox_min[k][node_f]        # [P, B, 3]
-        bmax = proto.level_bbox_max[k][node_f]
-        o_p = o_l[inst_f, ray_safe][:, None, :]       # [P, 1, 3]
-        inv_p = inv_l[inst_f, ray_safe][:, None, :]
+        op, ip, _ = pair_rays(ray_safe, inst_f)
         tmax_p = t_max[ray_safe][:, None]
-        hits, _ = _slab(bmin, bmax, o_p, inv_p, t_min, tmax_p)  # [P, B]
-        hits = hits & valid_f[:, None]
+        near = jnp.full(node_f.shape + (BRANCH,), t_min, f32)
+        far = jnp.broadcast_to(tmax_p, node_f.shape + (BRANCH,))
+        for i in range(3):
+            bmin_i = proto.level_bbox_min[k][..., i][node_f]   # [P, B]
+            bmax_i = proto.level_bbox_max[k][..., i][node_f]
+            ta = (bmin_i - op[i][:, None]) * ip[i][:, None]
+            tb = (bmax_i - op[i][:, None]) * ip[i][:, None]
+            near = jnp.maximum(near, jnp.minimum(ta, tb))
+            far = jnp.minimum(far, jnp.maximum(ta, tb))
+        hits = (far > near) & valid_f[:, None]
 
         child_node = node_f[:, None] * BRANCH + jnp.arange(BRANCH, dtype=jnp.int32)[None, :]
         flat_valid = hits.reshape(-1)
@@ -320,22 +358,34 @@ def intersect_mesh(proto: MeshProto, o, d, t_min, t_max, *, cap_factor: int = 8)
     tri_ok = (jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :] < count[:, None]) & valid_f[:, None]
     tri_idx = jnp.minimum(tri_idx, proto.tri_v0.shape[0] - 1)
 
-    v0 = proto.tri_v0[tri_idx]                        # [P, L, 3]
-    e1 = proto.tri_e1[tri_idx]
-    e2 = proto.tri_e2[tri_idx]
-    o_p = o_l[inst_f, ray_safe][:, None, :]
-    d_p = d_l[inst_f, ray_safe][:, None, :]
+    # Per-component triangle fetches: [P, L] each
+    v0c = [proto.tri_v0[:, i][tri_idx] for i in range(3)]
+    e1c = [proto.tri_e1[:, i][tri_idx] for i in range(3)]
+    e2c = [proto.tri_e2[:, i][tri_idx] for i in range(3)]
+    op, _, dp = pair_rays(ray_safe, inst_f)
+    opc = [c[:, None] for c in op]
+    dpc = [c[:, None] for c in dp]
+
+    def cross(a, b):
+        return [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
     # Moller-Trumbore (rt/triangle.go:57-104)
-    h = jnp.cross(d_p, e2)
-    a = jnp.sum(e1 * h, axis=-1)
+    h = cross(dpc, e2c)
+    a = dot(e1c, h)
     parallel = jnp.abs(a) < 1e-8
     f = 1.0 / jnp.where(parallel, 1.0, a)
-    s = o_p - v0
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1)
-    v = f * jnp.sum(d_p * q, axis=-1)
-    t_cand = f * jnp.sum(e2 * q, axis=-1)
+    s = [opc[i] - v0c[i] for i in range(3)]
+    u = f * dot(s, h)
+    q = cross(s, e1c)
+    v = f * dot(dpc, q)
+    t_cand = f * dot(e2c, q)
     tmax_p = t_max[ray_safe][:, None]
     ok = (
         tri_ok & ~parallel

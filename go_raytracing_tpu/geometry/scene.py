@@ -121,6 +121,7 @@ class Scene:
     # --- static metadata ---
     has_noise: bool = field(default=False, metadata=dict(static=True))
     has_image: bool = field(default=False, metadata=dict(static=True))
+    has_checker: bool = field(default=False, metadata=dict(static=True))
     env_importance: bool = field(default=True, metadata=dict(static=True))
 
     @property
@@ -143,7 +144,7 @@ jax.tree_util.register_dataclass(
         "light_q", "light_u", "light_v", "light_normal", "light_area",
         "light_mat", "env", "meshes",
     ],
-    meta_fields=["has_noise", "has_image", "env_importance"],
+    meta_fields=["has_noise", "has_image", "has_checker", "env_importance"],
 )
 
 
@@ -506,5 +507,6 @@ class SceneBuilder:
             meshes=tuple(meshes),
             has_noise=bool((kinds == tex.TEX_NOISE).any()),
             has_image=bool((kinds == tex.TEX_IMAGE).any()),
+            has_checker=bool((kinds == tex.TEX_CHECKER).any()),
             env_importance=self._env_importance,
         )

@@ -161,6 +161,169 @@ def _surface_intersects(scene: Scene, o: V3, d: V3, tm, t_min, t_max):
     return (t_s, i_s, h_s), (t_p, i_p, h_p)
 
 
+def attr_path_ok(scene: Scene, differentiable: bool) -> bool:
+    """Static predicate: can this scene render through the gather-free
+    winner-attribute kernels?  (Per-ray table gathers cost ~8 ns each on
+    TPU; the attribute path removes all of them.)  Excluded: gradient
+    traces (attributes are detached SMEM constants), noise/image textures
+    (need per-ray procedural eval / atlas fetch), meshes (separate path)."""
+    from ..ops import pallas_intersect as pk
+
+    return (
+        pk.enabled()
+        and not differentiable
+        and not scene.has_noise
+        and not scene.has_image
+        and not scene.meshes
+    )
+
+
+def _attr_closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max,
+                      seed, stream, bounce):
+    """Closest hit via the attribute kernels.  Returns
+    (t, which, idx, attrs) where attrs is a dict of per-ray winner
+    constants (geometry + denormalized material)."""
+    from ..ops import pallas_intersect as pk
+    from ..materials import tables as mats_mod
+
+    sg = jax.lax.stop_gradient
+    r_ = o.x.shape[0]
+    n_extra = 7 if scene.has_checker else 0
+
+    def empty(n_attr):
+        return (
+            jnp.full((r_,), BIG),
+            jnp.zeros((r_,), jnp.int32),
+            jnp.zeros((r_,), bool),
+            [jnp.zeros((r_,), jnp.float32)] * n_attr,
+        )
+
+    o_, d_, tm_, tmax_ = sg(o), sg(d), sg(tm), sg(t_max)
+    if scene.spheres.radius.shape[0] > 0:
+        consts_s = pk._material_consts(
+            sg(scene.materials), sg(scene.textures), scene.spheres.mat
+        )
+        t_s, i_s, h_s, a_s = pk.sphere_closest_attrs(
+            sg(scene.spheres), consts_s, o_, d_, tm_, tmax_,
+            t_min=float(t_min), n_attr=10 + n_extra,
+        )
+    else:
+        t_s, i_s, h_s, a_s = empty(10 + n_extra)
+    if scene.planar.d.shape[0] > 0:
+        consts_p = pk._material_consts(
+            sg(scene.materials), sg(scene.textures), scene.planar.mat
+        )
+        t_p, i_p, h_p, a_p = pk.planar_closest_attrs(
+            sg(scene.planar), consts_p, o_, d_, tmax_,
+            t_min=float(t_min), n_attr=12 + n_extra,
+        )
+    else:
+        t_p, i_p, h_p, a_p = empty(12 + n_extra)
+
+    sphere_wins = h_s & (~h_p | (t_s < t_p))
+    t_surf = jnp.where(sphere_wins, t_s, t_p)
+    which = jnp.where(
+        sphere_wins, HIT_SPHERE, jnp.where(h_p, HIT_PLANAR, HIT_NONE)
+    ).astype(jnp.int32)
+    idx = jnp.where(sphere_wins, i_s, i_p)
+    hit_surf = h_s | h_p
+
+    def pick(si, pi):
+        return jnp.where(sphere_wins, a_s[si], a_p[pi])
+
+    attrs = dict(
+        # sphere geometry (garbage on planar lanes, masked by `which`)
+        center=V3(a_s[0], a_s[1], a_s[2]),
+        rad2=a_s[3],
+        # planar geometry
+        pnormal=V3(a_p[0], a_p[1], a_p[2]),
+        alpha=a_p[3],
+        beta=a_p[4],
+        pkind=a_p[11],
+        # material constants (merged)
+        kindpack=pick(4, 5),
+        fuzz=pick(5, 6),
+        ior=pick(6, 7),
+        col=V3(pick(7, 8), pick(8, 9), pick(9, 10)),
+    )
+    if scene.has_checker:
+        attrs.update(
+            even=V3(pick(10, 12), pick(11, 13), pick(12, 14)),
+            odd=V3(pick(13, 15), pick(14, 16), pick(15, 17)),
+            scale=pick(16, 18),
+        )
+
+    # Volumes: stochastic preemption; inject the (few) volume materials'
+    # constants via per-volume selects — no per-ray gathers.
+    if scene.n_volumes > 0:
+        t_limit = jnp.where(hit_surf, t_surf, jnp.full_like(t_surf, BIG))
+        u_vol = _volume_uniforms(seed, stream, bounce, PURPOSE_VOL_MAIN, scene.n_volumes)
+        t_v, i_v, h_v = _sample_volumes(sg(scene.volumes), o_, d_, t_min, t_limit, u_vol)
+        vol_wins = h_v & (~hit_surf | (t_v < t_surf))
+        t_surf = jnp.where(vol_wins, t_v, t_surf)
+        which = jnp.where(vol_wins, HIT_VOLUME, which).astype(jnp.int32)
+        idx = jnp.where(vol_wins, i_v, idx)
+        mats_sg = sg(scene.materials)
+        tex_sg = sg(scene.textures)
+        for vi in range(scene.n_volumes):
+            m = vol_wins & (idx == vi)
+            vmat = scene.volumes.mat[vi]
+            vkind = mats_sg.kind[vmat]
+            vtex = mats_sg.tex[vmat]
+            vtexkind = tex_sg.kind[vtex]
+            attrs["kindpack"] = jnp.where(
+                m, (vkind * 8 + vtexkind).astype(jnp.float32), attrs["kindpack"]
+            )
+            attrs["fuzz"] = jnp.where(m, mats_sg.fuzz[vmat], attrs["fuzz"])
+            attrs["ior"] = jnp.where(m, mats_sg.ior[vmat], attrs["ior"])
+            vcol = V3(tex_sg.color[vtex, 0], tex_sg.color[vtex, 1], tex_sg.color[vtex, 2])
+            attrs["col"] = V3.select(m, V3.from_tuple((0, 0, 0), like=attrs["col"]) + vcol, attrs["col"])
+
+    return t_surf, which, idx, attrs
+
+
+def _attr_record_and_albedo(scene: Scene, o: V3, d: V3, t, which, attrs):
+    """Hit record + albedo from kernel attributes (no table gathers).
+
+    Known simplification: circle UV is not reconstructed (only used by
+    image textures, which force the gather path anyway)."""
+    p = o.at(d, t)
+
+    # sphere record
+    rad = jnp.sqrt(jnp.maximum(attrs["rad2"], 1e-20))
+    outward = (p - attrs["center"]) * (1.0 / rad)
+    s_front = d.dot(outward) < 0.0
+    s_normal = V3.select(s_front, outward, -outward)
+
+    # planar record
+    pn = attrs["pnormal"]
+    p_front = d.dot(pn) < 0.0
+    p_normal = V3.select(p_front, pn, -pn)
+
+    is_sphere = which == HIT_SPHERE
+    is_vol = which == HIT_VOLUME
+    normal = V3.select(is_sphere, s_normal, p_normal)
+    normal = V3.select(is_vol, V3.full(t.shape, (1.0, 0.0, 0.0)), normal)
+    front = jnp.where(is_sphere, s_front, p_front) | is_vol
+
+    matkind = (attrs["kindpack"] / 8.0).astype(jnp.int32)
+    texkind = (attrs["kindpack"].astype(jnp.int32)) % 8
+
+    albedo = attrs["col"]
+    if scene.has_checker:
+        inv_scale = attrs["scale"]
+        lx = jnp.floor(inv_scale * p.x + 1e-4).astype(jnp.int32)
+        ly = jnp.floor(inv_scale * p.y + 1e-4).astype(jnp.int32)
+        lz = jnp.floor(inv_scale * p.z + 1e-4).astype(jnp.int32)
+        is_even = (lx + ly + lz) % 2 == 0
+        checker = V3.select(is_even, attrs["even"], attrs["odd"])
+        from ..materials import textures as tex_mod
+
+        albedo = V3.select(texkind == tex_mod.TEX_CHECKER, checker, albedo)
+
+    return p, normal, front, matkind, albedo
+
+
 def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce):
     """Closest surface hit, then stochastic volume preemption.
 
@@ -342,7 +505,8 @@ def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
 # -----------------------------------------------------------------------------
 
 def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
-                      attenuation: V3, mat_id, seed, stream, bounce) -> V3:
+                      attenuation: V3, mat_id, seed, stream, bounce,
+                      mat_attrs=None) -> V3:
     """NEE toward one uniformly chosen registered quad light
     (rt/camera.go:609-678).  Returns V3 contribution (no throughput)."""
     n_lights = scene.n_lights
@@ -385,7 +549,12 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     pdf_light = (dist * dist) / jnp.maximum(cos_light * larea, 1e-20)
 
     wi = (-ray_d).unit()
-    pdf_brdf = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
+    if mat_attrs is not None:
+        pdf_brdf = mats.brdf_pdf_from_attrs(
+            mat_attrs[0], mat_attrs[1], wi, light_dir, normal
+        )
+    else:
+        pdf_brdf = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
     # Safe divisions: lanes masked below must not produce inf/NaN in the
     # primal (masked infinities poison the backward pass: 0 * inf).
     weight = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-20)
@@ -397,7 +566,8 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
 
 
 def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
-                      attenuation: V3, mat_id, seed, stream, bounce) -> V3:
+                      attenuation: V3, mat_id, seed, stream, bounce,
+                      mat_attrs=None) -> V3:
     """NEE toward the HDRI via importance sampling (rt/camera.go:565-607)."""
     xi1 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_ROW)
     xi2 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_COL)
@@ -413,7 +583,12 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     )
 
     wi = (-ray_d).unit()
-    pdf_b = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
+    if mat_attrs is not None:
+        pdf_b = mats.brdf_pdf_from_attrs(
+            mat_attrs[0], mat_attrs[1], wi, light_dir, normal
+        )
+    else:
+        pdf_b = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
     weight = pdf_h / jnp.maximum(pdf_h + pdf_b, 1e-20)
     scale = cos_theta / jnp.maximum(pdf_h, 1e-12) * weight
     contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
@@ -421,12 +596,16 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     return V3.select(ok, contrib, V3.zeros(ok.shape))
 
 
-def _miss_radiance(scene: Scene, cam: Camera, d: V3, bounce) -> V3:
-    """Environment / sky gradient / flat background (rt/camera.go:452-466)."""
+def _miss_radiance(scene: Scene, cam: Camera, d: V3, primary) -> V3:
+    """Environment / sky gradient / flat background (rt/camera.go:452-466).
+
+    ``primary``: bool mask — the lane's miss happened on the first segment
+    (the phantom-HDRI test ``depth == MaxDepth``, rt/camera.go:456).
+    """
     if scene.env is not None:
         col = hdri_mod.sample_soa(scene.env, d)
         if cam.phantom_hdri:
-            col = V3.select(jnp.equal(bounce, 0), V3.zeros(col.x.shape), col)
+            col = V3.select(primary, V3.zeros(col.x.shape), col)
         return col
     if cam.use_sky_gradient:
         unit_d = d.unit()
@@ -458,10 +637,14 @@ def _promote_vma(x, axes):
     return jax.tree_util.tree_map(one, x)
 
 
-def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
+def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
+          differentiable: bool = True):
     """Radiance for a ray megabatch.
 
     o/d: V3 (or [R,3] arrays, converted); tm/stream [R].  Returns V3.
+    ``differentiable=False`` (renders/benches) allows the gather-free
+    winner-attribute fast path on TPU; gradient-bearing traces keep the
+    differentiable gather path for material/texture parameters.
     """
     if not isinstance(o, V3):
         o = V3.from_rows(o)
@@ -472,34 +655,56 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
 
     use_nee = scene.n_lights > 0  # len(c.Lights) > 0 (rt/camera.go:487-489)
     hdri_nee = use_nee and scene.env is not None and scene.env_importance
+    fast = attr_path_ok(scene, differentiable)
 
     def bounce_step(carry, bounce):
-        o, d, throughput, radiance, alive, allow_light = carry
+        (o, d, throughput, radiance, alive, allow_light,
+         miss_dir, miss_tp, miss_primary, missed) = carry
 
-        t, which, idx, aux = closest_hit(
-            scene, o, d, tm, vec.EPS_HIT, jnp.full((r,), BIG, f32),
-            seed, stream, bounce,
-        )
+        if fast:
+            t, which, idx, attrs = _attr_closest_hit(
+                scene, o, d, tm, vec.EPS_HIT, jnp.full((r,), BIG, f32),
+                seed, stream, bounce,
+            )
+        else:
+            t, which, idx, aux = closest_hit(
+                scene, o, d, tm, vec.EPS_HIT, jnp.full((r,), BIG, f32),
+                seed, stream, bounce,
+            )
         hit = which != HIT_NONE
 
-        # --- miss ---------------------------------------------------------
-        miss_col = _miss_radiance(scene, cam, d, bounce)
+        # --- miss: DEFERRED environment evaluation ------------------------
+        # A lane escapes at most once, so instead of evaluating the miss
+        # shader (HDRI bilinear fetch = 12 gathers) every bounce, record the
+        # escape direction/throughput and evaluate once after the loop.
         lit = alive & ~hit
-        radiance = radiance + V3.select(
-            lit, throughput * miss_col, V3.zeros(lit.shape)
-        )
+        miss_dir = V3.select(lit, d, miss_dir)
+        miss_tp = V3.select(lit, throughput, miss_tp)
+        miss_primary = jnp.where(lit, jnp.equal(bounce, 0), miss_primary)
+        missed = missed | lit
 
         # Miss lanes carry t = BIG; o + BIG*d overflows to inf and would
         # NaN-poison downstream masked math (and its gradients).
         t_rec = jnp.where(hit, t, 1.0)
-        p, normal, front, uu, vv, mat_id = extract_record(
-            scene, o, d, tm, t_rec, which, idx, aux
-        )
-
-        sc = mats.scatter(
-            scene.materials, scene.textures, mat_id, d, normal, front,
-            uu, vv, p, seed, stream, bounce, **scene.tex_flags,
-        )
+        if fast:
+            p, normal, front, matkind, albedo = _attr_record_and_albedo(
+                scene, o, d, t_rec, which, attrs
+            )
+            sc = mats.scatter_from_attrs(
+                matkind, attrs["fuzz"], attrs["ior"], albedo,
+                d, normal, front, seed, stream, bounce,
+            )
+            mat_id = None
+            mat_attrs = (matkind, attrs["fuzz"])
+        else:
+            p, normal, front, uu, vv, mat_id = extract_record(
+                scene, o, d, tm, t_rec, which, idx, aux
+            )
+            sc = mats.scatter(
+                scene.materials, scene.textures, mat_id, d, normal, front,
+                uu, vv, p, seed, stream, bounce, **scene.tex_flags,
+            )
+            mat_attrs = None
 
         # --- emission (iff allow_light_hits, rt/camera.go:473-481) --------
         emit_mask = alive & hit & allow_light
@@ -513,12 +718,12 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
             use_mis = sc.can_use_nee & alive & hit
             direct = sample_area_light(
                 scene, cam, p, normal, d, sc.attenuation, mat_id,
-                seed, stream, bounce,
+                seed, stream, bounce, mat_attrs=mat_attrs,
             )
             if hdri_nee:
                 direct = direct + sample_hdri_light(
                     scene, cam, p, normal, d, sc.attenuation, mat_id,
-                    seed, stream, bounce,
+                    seed, stream, bounce, mat_attrs=mat_attrs,
                 )
             radiance = radiance + V3.select(
                 use_mis, throughput * direct, V3.zeros(use_mis.shape)
@@ -531,7 +736,8 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
         d = V3.select(alive, sc.direction, d)
         allow_light = ~use_mis  # rt/camera.go:493 vs :514
 
-        return (o, d, throughput, radiance, alive, allow_light), None
+        return (o, d, throughput, radiance, alive, allow_light,
+                miss_dir, miss_tp, miss_primary, missed), None
 
     # Inside shard_map the scan carry must have consistent varying-manual-
     # axes: promote every component to the union of the ray inputs' vma.
@@ -546,11 +752,22 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed):
             V3.zeros((r,), f32),
             jnp.ones((r,), bool),
             jnp.ones((r,), bool),
+            V3.zeros((r,), f32),    # miss_dir
+            V3.zeros((r,), f32),    # miss throughput
+            jnp.zeros((r,), bool),  # miss on primary segment
+            jnp.zeros((r,), bool),  # missed at all
         ),
         axes,
     )
     bounces = jnp.arange(cam.max_depth, dtype=jnp.uint32)
-    (o, d, throughput, radiance, alive, allow_light), _ = lax.scan(
-        bounce_step, init, bounces
+    carry, _ = lax.scan(bounce_step, init, bounces)
+    (o, d, throughput, radiance, alive, allow_light,
+     miss_dir, miss_tp, miss_primary, missed) = carry
+
+    # Deferred miss-shader evaluation (once per ray, not once per bounce).
+    safe_dir = V3.select(missed, miss_dir, V3.full((r,), (0.0, 0.0, 1.0), f32))
+    miss_col = _miss_radiance(scene, cam, safe_dir, miss_primary)
+    radiance = radiance + V3.select(
+        missed, miss_tp * miss_col, V3.zeros((r,), f32)
     )
     return radiance

@@ -170,3 +170,92 @@ def brdf_pdf(pack: MaterialPack, mat_id, wi: V3, wo: V3, normal: V3):
             jnp.where(kind == MAT_ISOTROPIC, iso_pdf, 0.0),
         ),
     )
+
+
+def scatter_from_attrs(mat_kind, fuzz, ior, albedo: V3,
+                       ray_d: V3, normal: V3, front_face,
+                       seed, stream, bounce) -> ScatterResult:
+    """Scatter evaluation from per-ray *attributes* (winner constants
+    streamed out of the pallas closest-hit kernels) — the gather-free fast
+    path.  Math identical to :func:`scatter`."""
+    su1, su2, _ = rngmod.uniform3(seed, stream, bounce, rngmod.SCATTER_U)
+    z = 1.0 - 2.0 * su1
+    phi = (2.0 * np.pi) * su2
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    rand_unit = V3(rr * jnp.cos(phi), rr * jnp.sin(phi), z)
+    u_fresnel = rngmod.uniform(seed, stream, bounce, rngmod.FRESNEL)
+
+    lam_dir = normal + rand_unit
+    lam_dir = V3.select(lam_dir.near_zero(), normal, lam_dir)
+
+    reflected = ray_d.reflect(normal).unit() + rand_unit * fuzz
+    metal_ok = reflected.dot(normal) > 0.0
+
+    ri = jnp.where(front_face, 1.0 / ior, ior)
+    unit_d = ray_d.unit()
+    cos_theta = jnp.minimum((-unit_d).dot(normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = ri * sin_theta > 1.0
+    r0 = (1.0 - ri) / (1.0 + ri)
+    r0 = r0 * r0
+    omc = jnp.maximum(1.0 - cos_theta, 0.0)
+    omc2 = omc * omc
+    schlick = r0 + (1.0 - r0) * (omc2 * omc2 * omc)
+    do_reflect = cannot_refract | (schlick > u_fresnel)
+    diel_dir = V3.select(
+        do_reflect, unit_d.reflect(normal), unit_d.refract(normal, ri)
+    )
+
+    direction = V3.select(
+        mat_kind == MAT_LAMBERTIAN,
+        lam_dir,
+        V3.select(
+            mat_kind == MAT_METAL,
+            reflected,
+            V3.select(mat_kind == MAT_DIELECTRIC, diel_dir, rand_unit),
+        ),
+    )
+    attenuation = V3.select(
+        mat_kind == MAT_DIELECTRIC, V3.full(mat_kind.shape, (1.0, 1.0, 1.0)),
+        albedo,
+    )
+    scattered = jnp.where(
+        mat_kind == MAT_DIFFUSE_LIGHT,
+        False,
+        jnp.where(mat_kind == MAT_METAL, metal_ok, True),
+    )
+    emitted_col = V3.select(
+        mat_kind == MAT_DIFFUSE_LIGHT, albedo, V3.zeros(mat_kind.shape)
+    )
+    return ScatterResult(
+        direction=direction,
+        attenuation=attenuation,
+        emitted=emitted_col,
+        scattered=scattered,
+        can_use_nee=mat_kind == MAT_LAMBERTIAN,
+    )
+
+
+def brdf_pdf_from_attrs(mat_kind, fuzz, wi: V3, wo: V3, normal: V3):
+    """Attribute-path twin of :func:`brdf_pdf`."""
+    cos_theta = normal.dot(wo)
+    lam_pdf = jnp.maximum(cos_theta, 0.0) / np.pi
+
+    refl = (-wi).reflect(normal)
+    cos_alpha = refl.dot(wo)
+    exponent = (1.0 - fuzz) * 50.0
+    phong = (exponent + 1.0) / (2.0 * np.pi) * jnp.power(
+        jnp.maximum(cos_alpha, 1e-20), exponent
+    )
+    metal_pdf = jnp.where((fuzz == 0.0) | (cos_alpha < 0.0), 0.0, phong)
+    iso_pdf = jnp.full_like(lam_pdf, 1.0 / (4.0 * np.pi))
+
+    return jnp.where(
+        mat_kind == MAT_LAMBERTIAN,
+        lam_pdf,
+        jnp.where(
+            mat_kind == MAT_METAL,
+            metal_pdf,
+            jnp.where(mat_kind == MAT_ISOTROPIC, iso_pdf, 0.0),
+        ),
+    )

@@ -57,7 +57,8 @@ def _rays_per_device(cam: Camera, spp: int, n_dev: int) -> int:
     return int(-(-per // 256) * 256)  # pad to VPU-friendly multiples
 
 
-def _device_accum(scene, cam: Camera, start, count: int, spp: int, seed):
+def _device_accum(scene, cam: Camera, start, count: int, spp: int, seed,
+                  differentiable: bool = False):
     """Partial framebuffer for rays [start, start+count) of the global
     sample-major ray stream (invalid ids masked)."""
     w, h = cam.image_width, cam.image_height
@@ -71,7 +72,9 @@ def _device_accum(scene, cam: Camera, start, count: int, spp: int, seed):
     py = (pixel // w).astype(jnp.int32)
     stream = ids  # spp-independent (see renderer._render_chunk)
     o, d, tm = generate_rays(cam, px, py, stream, seed)
-    radiance = wavefront.trace(scene, cam, o, d, tm, stream, seed)
+    radiance = wavefront.trace(
+        scene, cam, o, d, tm, stream, seed, differentiable=differentiable
+    )
     rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
     return jnp.zeros((n_pixels, 3), jnp.float32).at[pixel].add(rows)
 
@@ -149,7 +152,10 @@ def train_step(scene: Scene, cam: Camera, mesh: Mesh, target, seed, lr, *, spp: 
             out_specs=P(),
         )
         def sharded_loss(scene_rep, start, seed_rep):
-            fb = _device_accum(scene_rep, cam, start[0], per, spp, seed_rep)
+            fb = _device_accum(
+                scene_rep, cam, start[0], per, spp, seed_rep,
+                differentiable=True,
+            )
             fb = jax.lax.psum(fb, RAY_AXIS)
             err = fb / spp - target_flat
             return jnp.mean(err * err)[None]

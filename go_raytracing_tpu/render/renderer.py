@@ -54,22 +54,24 @@ def pick_chunk_size(scene: Scene, *, pair_budget: int = DEFAULT_PAIR_BUDGET,
     if _pk.enabled():
         # Pallas kernels never materialize [R, N] pair buffers, so only
         # volumes/meshes bound memory; amortize the per-dispatch floor
-        # with much larger launches.
-        n = max(
-            scene.volumes.neg_inv_density.shape[0] * 4 + 256 * len(scene.meshes),
-            16,
-        )
+        # with much larger launches.  Mesh frontiers allocate
+        # O(R * cap_factor) pair buffers + per-instance local rays, so
+        # mesh scenes stay at moderate chunks.
+        n = max(scene.volumes.neg_inv_density.shape[0] * 4, 16)
         max_rays = 1 << 22
+        if scene.meshes:
+            max_rays = 1 << 19
     else:
         n = max(_scene_prim_count(scene), 1)
     chunk = min(max_rays, max(pair_budget // n, 4096))
     return int(max(1024, (chunk // 1024) * 1024))
 
 
-@partial(jax.jit, static_argnames=("cam", "spp", "chunk", "max_depth"),
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth", "differentiable"),
          donate_argnames=("accum",))
 def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
-                  chunk: int, max_depth: int):
+                  chunk: int, max_depth: int, differentiable: bool = False):
     """Trace ``chunk`` rays starting at global ray id ``ray_start`` and
     scatter-add their radiance into the flat accumulator [W*H, 3]."""
     w, h = cam.image_width, cam.image_height
@@ -89,7 +91,9 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
 
     cam2 = dataclasses.replace(cam, max_depth=max_depth)
     o, d, tm = generate_rays(cam2, px, py, stream, seed)
-    radiance = wavefront.trace(scene, cam2, o, d, tm, stream, seed)
+    radiance = wavefront.trace(
+        scene, cam2, o, d, tm, stream, seed, differentiable=differentiable
+    )
     rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
     return accum.at[pixel].add(rows)
 
@@ -108,12 +112,16 @@ class RenderStats:
 def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
            max_depth: Optional[int] = None, seed: int = 0,
            chunk: Optional[int] = None, sample_offset: int = 0,
-           accum: Optional[jnp.ndarray] = None, stats: Optional[RenderStats] = None):
+           accum: Optional[jnp.ndarray] = None, stats: Optional[RenderStats] = None,
+           differentiable: bool = False):
     """Render ``spp`` samples/pixel; returns the accumulation buffer
     [H, W, 3] of *summed* radiance (divide by spp via film.tonemap).
 
     ``sample_offset`` starts sampling at a given global sample index so
     progressive / resumed renders continue the same RNG streams.
+    ``differentiable=True`` keeps the gradient-bearing material/texture
+    path on TPU (plain renders use faster detached attribute kernels; on
+    CPU everything is differentiable regardless).
     """
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
@@ -144,6 +152,7 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
         flat = _render_chunk(
             scene, cam, flat, jnp.uint32(pos), seed,
             spp=logical_spp, chunk=chunk, max_depth=max_depth,
+            differentiable=differentiable,
         )
         pos += chunk
         n_chunks += 1

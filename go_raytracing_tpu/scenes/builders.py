@@ -27,35 +27,42 @@ def _camera():
 # rt/scenes.go:30-130 — RandomScene
 # -----------------------------------------------------------------------------
 
-def random_scene(seed: int = 7, grid: Tuple[int, int, int, int] = (-10, 10, -10, 10)):
+def random_scene(seed: int = 7, grid: Tuple[int, int, int, int] = (-10, 10, -10, 10),
+                 ground_color=(0.5, 0.5, 0.5), lambert_prob=0.3, metal_prob=0.3,
+                 dielectric_prob=0.3, large_spheres_y=1.0):
+    """SceneConfig knobs mirror rt/scenes.go:3-28 (DefaultSceneConfig).
+
+    Note the reference quirk preserved: Lambertian spheres are ALWAYS
+    moving (center2 = center + (0, U(0,0.5), 0)) regardless of
+    MovingSphereProb (rt/scenes.go:99-100, the prob field is unused)."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
 
-    ground = b.lambertian(b.checker(0.32, (0.5, 0.5, 0.5), (0.9, 0.9, 0.9)))
+    ground = b.lambertian(b.checker(0.32, ground_color, (0.9, 0.9, 0.9)))
     b.plane((0, 0, -1), (0, 1, 0), ground)
 
-    lambert_p, metal_p, dielectric_p = 0.3, 0.3, 0.3
     for a in range(grid[0], grid[1]):
         for c in range(grid[2], grid[3]):
             choose = rng.random()
             center = np.array([a + 0.9 * rng.random(), 0.2, c + 0.9 * rng.random()])
             if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
                 continue
-            if choose < lambert_p:
+            if choose < lambert_prob:
                 albedo = rng.random(3) * rng.random(3)
                 mat = b.lambertian(tuple(albedo))
                 center2 = center + np.array([0.0, rng.uniform(0.0, 0.5), 0.0])
                 b.moving_sphere(center, center2, 0.2, mat)
-            elif choose < lambert_p + metal_p:
+            elif choose < lambert_prob + metal_prob:
                 albedo = 0.5 + rng.random(3) * 0.5
                 mat = b.metal(tuple(albedo), rng.random() * 0.5)
                 b.sphere(center, 0.2, mat)
-            elif choose < lambert_p + metal_p + dielectric_p:
+            elif choose < lambert_prob + metal_prob + dielectric_prob:
                 b.sphere(center, 0.2, b.dielectric(1.5))
 
-    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
-    b.sphere((-4, 1, 0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
-    b.sphere((4, 1, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
+    y = large_spheres_y
+    b.sphere((0, y, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-4, y, 0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
+    b.sphere((4, y, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
 
     cam = (
         _camera()

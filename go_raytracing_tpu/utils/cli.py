@@ -29,6 +29,8 @@ def main(argv=None):
                     help="V-Ray-style preview/refine/final passes")
     ap.add_argument("-profile-dir", default=None,
                     help="write jax.profiler traces here (cf. -profile)")
+    ap.add_argument("-mem-stats", action="store_true",
+                    help="print device/host memory report (cf. main.go -mem-stats)")
     ap.add_argument("-platform", default=None, choices=["cpu", "tpu"],
                     help="force the JAX backend (this environment pins the "
                          "TPU tunnel by default; cpu compiles locally)")
@@ -76,6 +78,11 @@ def main(argv=None):
         cam.max_depth, 1 if scene.n_lights else 0,
     )
     print(prof.report(wall))
+
+    if args.mem_stats:
+        from go_raytracing_tpu.utils.profiler import memory_report
+
+        print(memory_report())
 
     grt.film.write_png(args.out, grt.film.to_uint8(img))
     print(f"Done in {wall:.2f}s. Image written to {args.out}")

@@ -20,6 +20,8 @@ import time
 from collections import defaultdict
 from typing import Dict, Optional
 
+import numpy as np
+
 
 @dataclasses.dataclass
 class TimerStats:
@@ -114,3 +116,36 @@ class Profiler:
             )
         lines.append("========================================")
         return "\n".join(lines)
+
+
+def memory_report() -> str:
+    """Device + host memory report (PrintMemStats parity, rt/profiler.go:327-346)."""
+    import jax
+
+    lines = ["========================================", "         MEMORY REPORT"]
+    try:
+        live = jax.live_arrays()
+        total = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in live)
+        lines.append(f"Live device arrays: {len(live)} ({total / 1e6:.1f} MB)")
+    except Exception:
+        pass
+    for dev in jax.devices():
+        try:
+            stats = dev.memory_stats()
+            if stats:
+                lines.append(
+                    f"{dev}: in_use={stats.get('bytes_in_use', 0)/1e6:.1f}MB "
+                    f"peak={stats.get('peak_bytes_in_use', 0)/1e6:.1f}MB "
+                    f"limit={stats.get('bytes_limit', 0)/1e6:.0f}MB"
+                )
+        except Exception:
+            pass
+    try:
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        lines.append(f"Host peak RSS: {rss / 1024:.1f} MB")
+    except Exception:
+        pass
+    lines.append("========================================")
+    return "\n".join(lines)

@@ -98,3 +98,36 @@ def test_end_to_end_render_with_interpret_kernels():
     pk.INTERPRET = False  # jnp path
     img_ref = np.asarray(grt.render_image(scene, cam, spp=2, seed=3))
     np.testing.assert_allclose(img_pal, img_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_attr_path_render_matches_gather_path():
+    """The winner-attribute fast path must produce the same image as the
+    differentiable gather path (cornell-like: quads + spheres + checker
+    plane + volume + NEE light)."""
+    import dataclasses
+
+    b = grt.SceneBuilder()
+    checker_floor = b.lambertian(b.checker(0.7, (0.2, 0.2, 0.2), (0.9, 0.9, 0.9)))
+    b.plane((0, 0, 0), (0, 1, 0), checker_floor)
+    b.sphere((0, 1, -1), 0.8, b.metal((0.9, 0.8, 0.5), 0.2))
+    b.sphere((-1.8, 0.8, 0), 0.7, b.dielectric(1.5))
+    b.quad((1.0, 0.2, 0.8), (1.2, 0, 0), (0, 1.2, 0), b.lambertian((0.7, 0.2, 0.2)))
+    light = b.diffuse_light((6, 6, 6))
+    q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), light)
+    b.add_light(q)
+    b.volume_box((-3, 0, -3), (3, 3, 3), 0.02, (0.8, 0.8, 0.8))
+    scene = b.build()
+    assert scene.has_checker
+
+    from go_raytracing_tpu.camera import Camera
+
+    cam = Camera(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=4, max_depth=4,
+        look_from=(0, 2, 5), look_at=(0, 0.8, 0), background=(0.1, 0.1, 0.2),
+        vfov=45.0,
+    )
+    # interpret mode: attr kernels active (pk.enabled() True via INTERPRET)
+    img_fast = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    pk.INTERPRET = False  # gather path
+    img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    np.testing.assert_allclose(img_fast, img_ref, rtol=1e-3, atol=2e-3)
