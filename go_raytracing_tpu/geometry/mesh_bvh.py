@@ -36,7 +36,10 @@ import jax.numpy as jnp
 from ..core import vec
 
 BRANCH = 8          # children per wide node (3 binary median splits)
-LEAF_SIZE = 32      # max triangles per leaf segment
+# Max triangles per leaf segment.  Small leaves trade one more (cheap,
+# [P,8]) level of box tests for 4x less leaf-phase gather volume — XLA
+# gathers cost ~8 ns/element on TPU, so leaf fetch volume dominates.
+LEAF_SIZE = 8
 BIG = jnp.float32(3.0e38)
 
 
@@ -64,8 +67,14 @@ class MeshProto:
     inst_w2l: jnp.ndarray     # [I, 3, 4] world -> local affine
     inst_nmat: jnp.ndarray    # [I, 3, 3] normal transform (inv-transpose)
     inst_mat: jnp.ndarray     # [I] i32 material id
+    # Pallas segment-sweep kernel tables (ops/pallas_mesh.py)
+    k_tri: jnp.ndarray        # [9, Tpad] padded v0/e1/e2 component rows
+    k_tilebox: jnp.ndarray    # [n_tiles, 2, 3]
+    k_coarsebox: jnp.ndarray  # [n_coarse, 2, 3]
     # static
     depth: int = field(default=0, metadata=dict(static=True))
+    k_n_tiles: int = field(default=0, metadata=dict(static=True))
+    k_n_coarse: int = field(default=0, metadata=dict(static=True))
 
     @property
     def n_instances(self) -> int:
@@ -82,8 +91,9 @@ jax.tree_util.register_dataclass(
         "tri_v0", "tri_e1", "tri_e2", "level_bbox_min", "level_bbox_max",
         "leaf_start", "leaf_count", "root_bbox_min", "root_bbox_max",
         "inst_w2l", "inst_nmat", "inst_mat",
+        "k_tri", "k_tilebox", "k_coarsebox",
     ],
-    meta_fields=["depth"],
+    meta_fields=["depth", "k_n_tiles", "k_n_coarse"],
 )
 
 
@@ -191,10 +201,21 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
 
     e1 = v1 - v0
     e2 = v2 - v0
+
+    from ..ops import pallas_mesh
+
+    ktri, tilebox, coarsebox, n_tiles, n_coarse = pallas_mesh.build_kernel_tables(
+        v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
+    )
     return MeshProto(
         tri_v0=jnp.asarray(v0, jnp.float32),
         tri_e1=jnp.asarray(e1, jnp.float32),
         tri_e2=jnp.asarray(e2, jnp.float32),
+        k_tri=jnp.asarray(ktri),
+        k_tilebox=jnp.asarray(tilebox),
+        k_coarsebox=jnp.asarray(coarsebox),
+        k_n_tiles=n_tiles,
+        k_n_coarse=n_coarse,
         level_bbox_min=tuple(level_bbox_min),
         level_bbox_max=tuple(level_bbox_max),
         leaf_start=jnp.asarray(leaf_start),

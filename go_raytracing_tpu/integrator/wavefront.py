@@ -125,6 +125,19 @@ def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_fl
     return t_best, idx, t_best < BIG
 
 
+def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max):
+    """Mesh closest hit: pallas segment-sweep kernel on TPU for small
+    prototypes (gather-free), XLA frontier traversal otherwise."""
+    from ..ops import pallas_mesh
+
+    if pallas_mesh.kernel_ok(proto):
+        sg = jax.lax.stop_gradient
+        return pallas_mesh.intersect_mesh_kernel(
+            sg(proto), sg(o), sg(d), t_min, sg(t_max)
+        )
+    return mesh_bvh.intersect_mesh(proto, o.rows(), d.rows(), t_min, t_max)
+
+
 def _surface_intersects(scene: Scene, o: V3, d: V3, tm, t_min, t_max):
     """Sphere + planar closest hits, dispatched to the pallas kernels on
     TPU (geometry detached there — intersections are non-differentiable
@@ -346,9 +359,7 @@ def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, boun
 
     for mi, proto in enumerate(scene.meshes):
         t_limit = jnp.where(hit_surf, jnp.minimum(t_surf, t_max), t_max)
-        t_m, tri_m, inst_m, h_m, _ovf = mesh_bvh.intersect_mesh(
-            proto, o.rows(), d.rows(), t_min, t_limit
-        )
+        t_m, tri_m, inst_m, h_m, _ovf = _mesh_intersect(proto, o, d, t_min, t_limit)
         mesh_wins = h_m & (~hit_surf | (t_m < t_surf))
         t_surf = jnp.where(mesh_wins, t_m, t_surf)
         which = jnp.where(mesh_wins, HIT_MESH_BASE + mi, which).astype(jnp.int32)
@@ -487,8 +498,8 @@ def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
         jnp.where(h_s, t_s, BIG), jnp.where(h_p, t_p, BIG)
     )
     for proto in scene.meshes:
-        t_m, _, _, h_m, _ = mesh_bvh.intersect_mesh(
-            proto, o.rows(), d.rows(), t_min, jnp.minimum(t_surf, t_max)
+        t_m, _, _, h_m, _ = _mesh_intersect(
+            proto, o, d, t_min, jnp.minimum(t_surf, t_max)
         )
         blocked = blocked | h_m
         t_surf = jnp.where(h_m, jnp.minimum(t_surf, t_m), t_surf)
@@ -631,7 +642,10 @@ def _promote_vma(x, axes):
     def one(v):
         missing = tuple(axes - _vma_of(v))
         if missing:
-            return jax.lax.pvary(v, missing)
+            try:
+                return jax.lax.pcast(v, missing, to="varying")
+            except (AttributeError, TypeError):
+                return jax.lax.pvary(v, missing)
         return v
 
     return jax.tree_util.tree_map(one, x)

@@ -51,8 +51,13 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), (RAY_AXIS,))
 
 
-def _rays_per_device(cam: Camera, spp: int, n_dev: int) -> int:
-    total = cam.image_width * cam.image_height * spp
+def _rays_per_device(scene, cam: Camera, spp: int, n_dev: int) -> int:
+    from ..render.renderer import ray_layout, scene_tiled
+
+    _, _, n_virt = ray_layout(
+        cam.image_width, cam.image_height, scene_tiled(scene)
+    )
+    total = n_virt * spp
     per = -(-total // n_dev)
     return int(-(-per // 256) * 256)  # pad to VPU-friendly multiples
 
@@ -61,15 +66,20 @@ def _device_accum(scene, cam: Camera, start, count: int, spp: int, seed,
                   differentiable: bool = False):
     """Partial framebuffer for rays [start, start+count) of the global
     sample-major ray stream (invalid ids masked)."""
+    from ..render.renderer import _id_to_pixel, ray_layout, scene_tiled
+
     w, h = cam.image_width, cam.image_height
+    tiled = scene_tiled(scene)
     n_pixels = w * h
-    total = n_pixels * spp
+    _, _, n_virt = ray_layout(w, h, tiled)
+    total = n_virt * spp
     ids = start + jnp.arange(count, dtype=jnp.uint32)
     valid = ids < total
     ids = jnp.minimum(ids, total - 1)
-    pixel = ids % n_pixels
-    px = (pixel % w).astype(jnp.int32)
-    py = (pixel // w).astype(jnp.int32)
+    px, py, in_bounds = _id_to_pixel(ids % n_virt, w, h, tiled)
+    valid = valid & in_bounds
+    pixel = (py * w + jnp.minimum(px, w - 1)).astype(jnp.uint32)
+    pixel = jnp.minimum(pixel, w * h - 1)
     stream = ids  # spp-independent (see renderer._render_chunk)
     o, d, tm = generate_rays(cam, px, py, stream, seed)
     radiance = wavefront.trace(
@@ -84,7 +94,7 @@ def render_sharded(scene: Scene, cam: Camera, mesh: Mesh, seed, *, spp: int):
     """Render with rays data-parallel over the mesh; returns the summed
     accumulation buffer [H, W, 3] (replicated on every device)."""
     n_dev = mesh.devices.size
-    per = _rays_per_device(cam, spp, n_dev)
+    per = _rays_per_device(scene, cam, spp, n_dev)
     starts = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
 
     @partial(
@@ -137,7 +147,7 @@ def train_step(scene: Scene, cam: Camera, mesh: Mesh, target, seed, lr, *, spp: 
     scalar loss and parameter grads psum-reduced over ICI inside the
     backward pass.  Returns (new_scene, loss)."""
     n_dev = mesh.devices.size
-    per = _rays_per_device(cam, spp, n_dev)
+    per = _rays_per_device(scene, cam, spp, n_dev)
     starts = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
     n_pixels = cam.image_width * cam.image_height
     target_flat = target.reshape(n_pixels, 3)

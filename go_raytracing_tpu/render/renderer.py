@@ -60,11 +60,60 @@ def pick_chunk_size(scene: Scene, *, pair_budget: int = DEFAULT_PAIR_BUDGET,
         n = max(scene.volumes.neg_inv_density.shape[0] * 4, 16)
         max_rays = 1 << 22
         if scene.meshes:
-            max_rays = 1 << 19
+            from ..ops import pallas_mesh as _pm
+
+            if all(_pm.kernel_ok(p) for p in scene.meshes):
+                # segment-sweep kernel: no frontier buffers
+                max_rays = 1 << 21
+            else:
+                # XLA frontier pair buffers scale as chunk * cap_factor *
+                # LEAF_SIZE; 64K rays keeps them ~64 MB/array.
+                max_rays = 1 << 16
     else:
         n = max(_scene_prim_count(scene), 1)
     chunk = min(max_rays, max(pair_budget // n, 4096))
     return int(max(1024, (chunk // 1024) * 1024))
+
+
+BUCKET = 32  # pixel tile side — the reference's bucket size (main.go:83)
+
+
+def ray_layout(w: int, h: int, tiled: bool):
+    """Pixel-grid layout for ray ids.
+
+    ``tiled``: rays ordered in 32x32 pixel buckets (padded grid) so that
+    consecutive ray ids — and therefore pallas grid blocks — are
+    *spatially coherent*: the mesh kernel's segment early-outs prune per
+    block, like the reference's spiral buckets fed to workers
+    (rt/bucket_renderer.go:77-125).  Mesh scenes use this; other scenes
+    use the plain linear layout (no padding, no index math).
+    Returns (tiles_x, tiles_y, n_virtual_pixels).
+    """
+    if not tiled:
+        return 0, 0, w * h
+    tiles_x = -(-w // BUCKET)
+    tiles_y = -(-h // BUCKET)
+    return tiles_x, tiles_y, tiles_x * tiles_y * BUCKET * BUCKET
+
+
+def _id_to_pixel(ids, w: int, h: int, tiled: bool):
+    """Ray id (within one sample) -> (px, py, in-bounds mask)."""
+    if not tiled:
+        px = (ids % w).astype(jnp.int32)
+        py = (ids // w).astype(jnp.int32)
+        return px, py, py < h
+    tiles_x, _, _ = ray_layout(w, h, True)
+    per_tile = BUCKET * BUCKET
+    tile = ids // per_tile
+    within = ids % per_tile
+    px = ((tile % tiles_x) * BUCKET + within % BUCKET).astype(jnp.int32)
+    py = ((tile // tiles_x) * BUCKET + within // BUCKET).astype(jnp.int32)
+    return px, py, (px < w) & (py < h)
+
+
+def scene_tiled(scene) -> bool:
+    """Tiled ray layout only where block coherence pays (mesh scenes)."""
+    return len(scene.meshes) > 0
 
 
 @partial(jax.jit,
@@ -75,16 +124,18 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
     """Trace ``chunk`` rays starting at global ray id ``ray_start`` and
     scatter-add their radiance into the flat accumulator [W*H, 3]."""
     w, h = cam.image_width, cam.image_height
-    n_pixels = w * h
-    total = n_pixels * spp
+    tiled = scene_tiled(scene)
+    _, _, n_virt = ray_layout(w, h, tiled)
+    total = n_virt * spp
 
     ids = ray_start + jnp.arange(chunk, dtype=jnp.uint32)
     valid = ids < total
     ids = jnp.minimum(ids, total - 1)
-    pixel = (ids % n_pixels).astype(jnp.uint32)
-    px = (pixel % w).astype(jnp.int32)
-    py = (pixel // w).astype(jnp.int32)
-    # Stream id = sample * n_pixels + pixel == the global ray id itself:
+    px, py, in_bounds = _id_to_pixel(ids % n_virt, w, h, tiled)
+    valid = valid & in_bounds
+    pixel = (py * w + jnp.minimum(px, w - 1)).astype(jnp.uint32)
+    pixel = jnp.minimum(pixel, w * h - 1)
+    # Stream id = sample * n_virt + virtual_pixel == the global ray id:
     # independent of the total spp, so SPP-chunked/resumed renders and any
     # chunking layout produce identical samples.
     stream = ids
@@ -127,10 +178,11 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
     max_depth = cam.max_depth if max_depth is None else max_depth
     w, h = cam.image_width, cam.image_height
     n_pixels = w * h
+    _, _, n_virt = ray_layout(w, h, scene_tiled(scene))
     if chunk is None:
         chunk = pick_chunk_size(scene)
         # Never launch (much) more than the job itself.
-        chunk = min(chunk, max(1024, -(-n_pixels * spp // 1024) * 1024))
+        chunk = min(chunk, max(1024, -(-n_virt * spp // 1024) * 1024))
 
     flat = (
         jnp.zeros((n_pixels, 3), jnp.float32)
@@ -140,10 +192,10 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
 
     # Virtual stream window: samples [sample_offset, sample_offset + spp).
     # The chunk kernel sees a logical spp' = sample_offset + spp and we skip
-    # the first sample_offset * n_pixels rays.
+    # the first sample_offset * n_virt (bucket-tiled, padded) rays.
     logical_spp = sample_offset + spp
-    start = sample_offset * n_pixels
-    total = logical_spp * n_pixels
+    start = sample_offset * n_virt
+    total = logical_spp * n_virt
 
     t0 = time.perf_counter()
     pos = start

@@ -131,3 +131,55 @@ def test_attr_path_render_matches_gather_path():
     pk.INTERPRET = False  # gather path
     img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
     np.testing.assert_allclose(img_fast, img_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_mesh_kernel_matches_frontier():
+    """Segment-sweep mesh kernel vs the XLA frontier traversal."""
+    from go_raytracing_tpu.geometry import mesh_bvh
+    from go_raytracing_tpu.geometry.scene import Affine
+    from go_raytracing_tpu.io import obj as obj_mod
+    from go_raytracing_tpu.ops import pallas_mesh
+    from go_raytracing_tpu.core.vec3 import V3
+
+    pallas_mesh.INTERPRET = True
+    try:
+        verts, tris = obj_mod.lucy_standin(12, 10)
+        instances = []
+        for i in range(3):
+            xf = Affine.trs(scale=(0.001, 0.001, 0.001),
+                            rotation_deg=(0, 60 * i, 0),
+                            position=(i * 1.5 - 1.5, -0.8, -3.0))
+            instances.append((xf.m, 0))
+        proto = mesh_bvh.build_proto(verts, tris, instances)
+        assert pallas_mesh.kernel_ok(proto)
+
+        rng = np.random.default_rng(0)
+        n = 256
+        o = np.zeros((n, 3))
+        o[:, 2] = 2.0
+        targets = np.stack([
+            rng.uniform(-2.0, 1.0, n), rng.uniform(-0.8, 0.9, n),
+            np.full(n, -3.0),
+        ], axis=-1)
+        d = (targets - o).astype(np.float32)
+        o32 = jnp.asarray(o, jnp.float32)
+        d32 = jnp.asarray(d, jnp.float32)
+        tmax = jnp.full(n, 1e9, jnp.float32)
+
+        t_f, tri_f, inst_f, hit_f, _ = mesh_bvh.intersect_mesh(
+            proto, o32, d32, 1e-3, tmax
+        )
+        t_k, tri_k, inst_k, hit_k, _ = pallas_mesh.intersect_mesh_kernel(
+            proto, V3.from_rows(o32), V3.from_rows(d32), 1e-3, tmax
+        )
+        hit_f, hit_k = np.asarray(hit_f), np.asarray(hit_k)
+        assert hit_f.sum() > 20
+        assert (hit_f == hit_k).mean() > 0.99
+        both = hit_f & hit_k
+        np.testing.assert_allclose(
+            np.asarray(t_k)[both], np.asarray(t_f)[both], rtol=1e-4, atol=1e-4
+        )
+        assert (np.asarray(inst_k)[both] == np.asarray(inst_f)[both]).mean() > 0.99
+        assert (np.asarray(tri_k)[both] == np.asarray(tri_f)[both]).mean() > 0.98
+    finally:
+        pallas_mesh.INTERPRET = False
