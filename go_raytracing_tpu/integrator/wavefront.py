@@ -773,8 +773,23 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         ),
         axes,
     )
-    bounces = jnp.arange(cam.max_depth, dtype=jnp.uint32)
-    carry, _ = lax.scan(bounce_step, init, bounces)
+    if differentiable:
+        # reverse-mode needs lax.scan (while_loop has no VJP)
+        bounces = jnp.arange(cam.max_depth, dtype=jnp.uint32)
+        carry, _ = lax.scan(bounce_step, init, bounces)
+    else:
+        # Early termination: deep-depth configs (reference uses up to 50)
+        # kill most lanes within a few bounces; stop when none survive.
+        def cond(state):
+            bounce, carry = state
+            return (bounce < cam.max_depth) & jnp.any(carry[4])
+
+        def body(state):
+            bounce, carry = state
+            carry, _ = bounce_step(carry, bounce)
+            return bounce + jnp.uint32(1), carry
+
+        _, carry = lax.while_loop(cond, body, (jnp.uint32(0), init))
     (o, d, throughput, radiance, alive, allow_light,
      miss_dir, miss_tp, miss_primary, missed) = carry
 

@@ -160,7 +160,9 @@ def test_gradient_wrt_albedo_matches_finite_difference():
         s = dataclasses.replace(
             scene, textures=scene.textures._replace(color=colors)
         )
-        return jnp.mean(grt.render(s, cam, spp=8, seed=0) / 8.0)
+        return jnp.mean(
+            grt.render(s, cam, spp=8, seed=0, differentiable=True) / 8.0
+        )
 
     g = jax.grad(loss)(scene.textures.color)
     eps = 1e-3
