@@ -88,3 +88,20 @@ def test_png_roundtrip(tmp_path):
     film.write_png(p, img)
     back = film.read_png(p)
     np.testing.assert_array_equal(img, back)
+
+
+def test_perlin_soa_matches_rows():
+    """The SoA perlin (hot path) must equal the rows-based reference
+    implementation (kept as the readable oracle)."""
+    from go_raytracing_tpu.materials import textures as tex
+    from go_raytracing_tpu.core.vec3 import V3
+
+    tables = tex.make_perlin_tables(3)
+    r = np.random.default_rng(0)
+    p = jnp.asarray(r.uniform(-8, 8, size=(512, 3)), jnp.float32)
+    rows = np.asarray(tex.perlin_turb(tables, p, 7))
+    soa = np.asarray(tex.perlin_turb_soa(tables, V3.from_rows(p), 7))
+    np.testing.assert_allclose(soa, rows, rtol=1e-4, atol=1e-5)
+    rows_n = np.asarray(tex.perlin_noise(tables, p))
+    soa_n = np.asarray(tex.perlin_noise_soa(tables, V3.from_rows(p)))
+    np.testing.assert_allclose(soa_n, rows_n, rtol=1e-4, atol=1e-5)
