@@ -42,9 +42,12 @@ def bench_scene(name, cfg):
     spp = cam.samples_per_pixel
     chunk = min(pick_chunk_size(scene), cam.image_width * cam.image_height * spp)
     chunk = max(1024, (chunk // 1024) * 1024)
-    grt.render(scene, cam, spp=spp, seed=0, chunk=chunk)  # compile+warm
+    float(grt.render(scene, cam, spp=spp, seed=0, chunk=chunk).sum())  # compile+warm
     t0 = time.perf_counter()
     accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk)
+    # Force full materialization: through the device tunnel,
+    # block_until_ready can return before execution completes.
+    float(accum.sum())
     wall = time.perf_counter() - t0
     n_rays = cam.image_width * cam.image_height * spp
     return accum, n_rays / wall / 1e6, wall, cam

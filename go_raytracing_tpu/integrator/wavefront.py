@@ -671,6 +671,24 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
     hdri_nee = use_nee and scene.env is not None and scene.env_importance
     fast = attr_path_ok(scene, differentiable)
 
+    # The megakernel runs the whole bounce loop in one pallas kernel with
+    # per-block early termination; it produces identical images (same RNG
+    # streams).  HDRI-NEE scenes stay on the standard path (CDF sampling
+    # needs large-table bisection the kernel doesn't do).
+    from ..ops import pallas_wavefront as mega
+
+    if (not differentiable) and not hdri_nee and mega.applicable(scene):
+        radiance, miss_dir, miss_tp, missed, miss_primary = mega.trace_megakernel(
+            scene, cam, o, d, tm, stream, seed
+        )
+        safe_dir = V3.select(
+            missed, miss_dir, V3.full((r,), (0.0, 0.0, 1.0), f32)
+        )
+        miss_col = _miss_radiance(scene, cam, safe_dir, miss_primary)
+        return radiance + V3.select(
+            missed, miss_tp * miss_col, V3.zeros((r,), f32)
+        )
+
     def bounce_step(carry, bounce):
         (o, d, throughput, radiance, alive, allow_light,
          miss_dir, miss_tp, miss_primary, missed) = carry

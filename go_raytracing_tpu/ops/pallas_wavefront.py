@@ -1,0 +1,642 @@
+"""Wavefront megakernel: the whole bounce loop in one Pallas kernel.
+
+The chunked integrator issues multiple pallas launches plus dozens of
+fused XLA ops per bounce; dispatch overhead and HBM state round-trips cost
+~23 ns/ray/bounce on Cornell.  This kernel keeps the ENTIRE path loop
+on-chip: a grid step owns a (32,128) block of 4096 rays whose state
+(origin, direction, throughput, radiance, flags) stays in registers/VMEM
+across bounces, and an in-kernel ``while`` runs until the block's rays are
+all dead or max_depth is reached — per-block early termination that the
+XLA formulation cannot express (a chunk-level any(alive) gate is useless
+when one live ray pins 4M).
+
+Per bounce, entirely in-kernel (parity citations in integrator/wavefront):
+  planar + sphere closest-hit sweeps with winner attributes, stochastic
+  OBB volume scattering, miss capture for the deferred environment shader,
+  emission w/ allowLightHits, branchless scatter, and NEE toward a
+  uniformly picked quad light with a shadow sweep and balance-heuristic
+  MIS.  The RNG is the same PCG3D counter scheme as core/rng.py, so the
+  megakernel's image is IDENTICAL to the standard integrator's (tested).
+
+Static specialization per scene: planar/sphere/volume/light counts,
+NEE on/off, checker on/off.  Scenes with meshes or noise/image textures
+use the regular integrator path.  Enabled on TPU unless
+``GRT_NO_MEGAKERNEL=1``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng as rngmod
+from ..geometry import packs
+
+BIG = np.float32(3.0e38)
+BLOCK_ROWS = 32
+LANES = 128
+EPS_HIT = np.float32(1e-3)
+EPS_PARALLEL = np.float32(1e-8)
+FIREFLY = np.float32(20.0)
+
+INTERPRET = False
+
+# Table row indices ------------------------------------------------------
+PT_ROWS = 29  # planar: n(3) d q(3) vxw(3) wxu(3) rad2 kind mat tex fuzz ior col(3) even(3) odd(3) scale
+ST_ROWS = 21  # sphere: c(3) vel(3) rad2 mat tex fuzz ior col(3) even(3) odd(3) scale
+VT_ROWS = 24  # volume: w2l(12) bmin(3) bmax(3) nid mat tex col(3)
+LT_ROWS = 16  # light: q(3) u(3) v(3) n(3) area em(3)
+
+_M = np.uint32(1664525)
+_A = np.uint32(1013904223)
+
+
+def enabled() -> bool:
+    import os
+
+    if os.environ.get("GRT_NO_MEGAKERNEL") == "1":
+        return False
+    if os.environ.get("GRT_NO_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu" or INTERPRET
+
+
+def applicable(scene, max_prims: int = 1024) -> bool:
+    """Static: can this scene run through the megakernel?"""
+    return (
+        enabled()
+        and not scene.meshes
+        and not scene.has_noise
+        and not scene.has_image
+        and scene.planar.d.shape[0] <= max_prims
+        and scene.spheres.radius.shape[0] <= max_prims
+        and scene.n_volumes <= 4
+        and scene.n_lights <= 8
+    )
+
+
+# -----------------------------------------------------------------------------
+# Table packing (traced; runs under the caller's stop_gradient)
+# -----------------------------------------------------------------------------
+
+def _pad_cols(rows, n):
+    pad = max(-(-n // 8) * 8, 8) - n
+    return jnp.stack([jnp.pad(r, (0, pad)) for r in rows], axis=0)
+
+
+def _mat_rows(materials, textures, mat_ids):
+    kind = materials.kind[mat_ids].astype(jnp.float32)
+    tex = materials.tex[mat_ids]
+    texkind = textures.kind[tex].astype(jnp.float32)
+    scale = jnp.where(
+        textures.kind[tex] == 1, textures.inv_scale[tex], textures.noise_scale[tex]
+    )
+    return [
+        kind, texkind,
+        materials.fuzz[mat_ids], materials.ior[mat_ids],
+        textures.color[:, 0][tex], textures.color[:, 1][tex], textures.color[:, 2][tex],
+        textures.even_color[:, 0][tex], textures.even_color[:, 1][tex], textures.even_color[:, 2][tex],
+        textures.odd_color[:, 0][tex], textures.odd_color[:, 1][tex], textures.odd_color[:, 2][tex],
+        scale,
+    ]
+
+
+def build_tables(scene):
+    """Scene -> (PT, ST, VT, LT) SMEM tables + counts."""
+    p = scene.planar
+    n_planar = int(p.d.shape[0])
+    if n_planar:
+        vxw = jnp.cross(p.v, p.w)
+        wxu = jnp.cross(p.w, p.u)
+        rows = [
+            p.normal[:, 0], p.normal[:, 1], p.normal[:, 2], p.d,
+            p.q[:, 0], p.q[:, 1], p.q[:, 2],
+            vxw[:, 0], vxw[:, 1], vxw[:, 2],
+            wxu[:, 0], wxu[:, 1], wxu[:, 2],
+            p.radius * p.radius, p.kind.astype(jnp.float32),
+        ] + _mat_rows(scene.materials, scene.textures, p.mat)
+        pt = _pad_cols(rows, n_planar)
+    else:
+        pt = jnp.zeros((PT_ROWS, 8), jnp.float32)
+
+    s = scene.spheres
+    n_sphere = int(s.radius.shape[0])
+    if n_sphere:
+        rows = [
+            s.center[:, 0], s.center[:, 1], s.center[:, 2],
+            s.velocity[:, 0], s.velocity[:, 1], s.velocity[:, 2],
+            s.radius * s.radius,
+        ] + _mat_rows(scene.materials, scene.textures, s.mat)
+        st = _pad_cols(rows, n_sphere)
+    else:
+        st = jnp.zeros((ST_ROWS, 8), jnp.float32)
+
+    v = scene.volumes
+    n_vol = scene.n_volumes
+    if n_vol:
+        m = v.world_to_local.reshape(n_vol, 12)
+        vtex = scene.materials.tex[v.mat]
+        rows = (
+            [m[:, i] for i in range(12)]
+            + [v.box_min[:, i] for i in range(3)]
+            + [v.box_max[:, i] for i in range(3)]
+            + [v.neg_inv_density,
+               scene.materials.kind[v.mat].astype(jnp.float32),
+               scene.textures.kind[vtex].astype(jnp.float32)]
+            + [scene.textures.color[:, i][vtex] for i in range(3)]
+        )
+        vt = _pad_cols(rows, n_vol)
+    else:
+        vt = jnp.zeros((VT_ROWS, 8), jnp.float32)
+
+    n_lights = scene.n_lights
+    if n_lights:
+        lem = [
+            scene.textures.color[:, i][scene.materials.tex[scene.light_mat]]
+            for i in range(3)
+        ]
+        rows = (
+            [scene.light_q[:, i] for i in range(3)]
+            + [scene.light_u[:, i] for i in range(3)]
+            + [scene.light_v[:, i] for i in range(3)]
+            + [scene.light_normal[:, i] for i in range(3)]
+            + [scene.light_area]
+            + lem
+        )
+        lt = _pad_cols(rows, n_lights)
+    else:
+        lt = jnp.zeros((LT_ROWS, 8), jnp.float32)
+
+    return pt, st, vt, lt, n_planar, n_sphere, n_vol, n_lights
+
+
+# -----------------------------------------------------------------------------
+# Kernel
+# -----------------------------------------------------------------------------
+
+def _pcg3d(x, y, z):
+    x = x * _M + _A
+    y = y * _M + _A
+    z = z * _M + _A
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x = x ^ (x >> np.uint32(16))
+    y = y ^ (y >> np.uint32(16))
+    z = z ^ (z >> np.uint32(16))
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    return x, y, z
+
+
+def make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth):
+    use_nee = n_lights > 0
+    f24 = np.float32(2.0 ** -24)
+
+    def kernel(count_ref, seed_ref, pt, st, vt, lt,
+               ox, oy, oz, dx, dy, dz, tmr, stream_ref,
+               rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl):
+        o = [ox[...], oy[...], oz[...]]
+        d = [dx[...], dy[...], dz[...]]
+        tm = tmr[...]
+        stream = stream_ref[...]
+        zero = o[0] * 0.0
+        zero_u = stream & np.uint32(0)
+        true_v = zero >= 0.0
+        false_v = zero < 0.0
+
+        seed_mix = seed_ref[0] * np.uint32(0x9E3779B9)
+
+        def uniform3(bounce_u, purpose):
+            a = stream ^ (zero_u + seed_mix)
+            b = zero_u + ((bounce_u * np.uint32(0x85EBCA6B)) ^ seed_ref[0])
+            c_const = np.uint32((int(purpose) * 0xC2B2AE35 + 0x27D4EB2F) & 0xFFFFFFFF)
+            c = zero_u + c_const
+            x, y, z = _pcg3d(a, b, c)
+
+            def to_f32(v):
+                # Mosaic has no uint32->f32 cast; the top-24-bit values fit
+                # in positive int32, which does cast.
+                return (v >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * f24
+
+            return to_f32(x), to_f32(y), to_f32(z)
+
+        def uniform3_dynp(bounce_u, purpose):
+            """Volume purposes (static python int per call site)."""
+            x, _, _ = uniform3(bounce_u, purpose)
+            return x
+
+        def dot3(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        # attribute slots (merged winner constants)
+        N_GEO = 7   # pn(3) sc(3) rad2
+        N_MAT = 7 + (7 if has_checker else 0)
+
+        def planar_sweep(o, d, t_best, hitk, attrs, record):
+            def body(j, carry):
+                t_best, hitk, attrs = carry
+                nx_j = pt[0, j]; ny_j = pt[1, j]; nz_j = pt[2, j]
+                denom = d[0] * nx_j + d[1] * ny_j + d[2] * nz_j
+                not_par = jnp.abs(denom) >= EPS_PARALLEL
+                t = (pt[3, j] - (o[0] * nx_j + o[1] * ny_j + o[2] * nz_j)) / jnp.where(not_par, denom, 1.0)
+                kv = zero + pt[14, j]
+                is_plane = kv == float(packs.KIND_PLANE)
+                # (selects over bool vectors don't legalize; mask algebra)
+                t_ok = (is_plane & (t > EPS_HIT) & (t < t_best)) | (
+                    ~is_plane & (t >= EPS_HIT) & (t <= t_best)
+                )
+                rx = o[0] + t * d[0] - pt[4, j]
+                ry = o[1] + t * d[1] - pt[5, j]
+                rz = o[2] + t * d[2] - pt[6, j]
+                alpha = rx * pt[7, j] + ry * pt[8, j] + rz * pt[9, j]
+                beta = rx * pt[10, j] + ry * pt[11, j] + rz * pt[12, j]
+                in_quad = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+                in_tri = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (alpha + beta <= 1.0)
+                dist2 = rx * rx + ry * ry + rz * rz
+                interior = (
+                    ((kv == float(packs.KIND_QUAD)) & in_quad)
+                    | ((kv == float(packs.KIND_TRI)) & in_tri)
+                    | ((kv == float(packs.KIND_CIRCLE)) & (dist2 <= pt[13, j]))
+                    | is_plane
+                )
+                upd = not_par & t_ok & interior & (j < count_ref[0])
+                t_best = jnp.where(upd, t, t_best)
+                hitk = jnp.where(upd, 2, hitk)
+                if record:
+                    vals = [nx_j, ny_j, nz_j, 0.0, 0.0, 0.0, 1.0]
+                    vals += [pt[15, j], pt[16, j], pt[17, j], pt[18, j],
+                             pt[19, j], pt[20, j], pt[21, j]]
+                    if has_checker:
+                        vals += [pt[22, j], pt[23, j], pt[24, j],
+                                 pt[25, j], pt[26, j], pt[27, j], pt[28, j]]
+                    attrs = [jnp.where(upd, v + zero, a_) for v, a_ in zip(vals, attrs)]
+                return t_best, hitk, attrs
+
+            return jax.lax.fori_loop(0, pt.shape[1] if n_planar else 0, body,
+                                     (t_best, hitk, attrs))
+
+        def sphere_sweep(o, d, tmv, t_best, hitk, attrs, record):
+            a_coef = dot3(d, d)
+            inv_a = 1.0 / a_coef
+
+            def body(j, carry):
+                t_best, hitk, attrs = carry
+                ctx = st[0, j] + tmv * st[3, j]
+                cty = st[1, j] + tmv * st[4, j]
+                ctz = st[2, j] + tmv * st[5, j]
+                ocx = ctx - o[0]
+                ocy = cty - o[1]
+                ocz = ctz - o[2]
+                h = d[0] * ocx + d[1] * ocy + d[2] * ocz
+                c = ocx * ocx + ocy * ocy + ocz * ocz - st[6, j]
+                disc = h * h - a_coef * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r0 = (h - sq) * inv_a
+                r1 = (h + sq) * inv_a
+                ok0 = (r0 > EPS_HIT) & (r0 < t_best)
+                ok1 = (r1 > EPS_HIT) & (r1 < t_best)
+                root = jnp.where(ok0, r0, r1)
+                upd = (disc >= 0.0) & (ok0 | ok1) & (j < count_ref[1])
+                t_best = jnp.where(upd, root, t_best)
+                hitk = jnp.where(upd, 1, hitk)
+                if record:
+                    new_geo = [zero, zero, zero, ctx, cty, ctz, st[6, j] + zero]
+                    matv = [st[7, j], st[8, j], st[9, j], st[10, j],
+                            st[11, j], st[12, j], st[13, j]]
+                    if has_checker:
+                        matv += [st[14, j], st[15, j], st[16, j],
+                                 st[17, j], st[18, j], st[19, j], st[20, j]]
+                    vals = new_geo + [zero + v for v in matv]
+                    attrs = [jnp.where(upd, v, a_) for v, a_ in zip(vals, attrs)]
+                return t_best, hitk, attrs
+
+            return jax.lax.fori_loop(0, st.shape[1] if n_sphere else 0, body,
+                                     (t_best, hitk, attrs))
+
+        def volume_window(o, d, vi):
+            olc, dlc = [], []
+            for i in range(3):
+                oli = (vt[4 * i + 0, vi] * o[0] + vt[4 * i + 1, vi] * o[1]
+                       + vt[4 * i + 2, vi] * o[2] + vt[4 * i + 3, vi])
+                dli = (vt[4 * i + 0, vi] * d[0] + vt[4 * i + 1, vi] * d[1]
+                       + vt[4 * i + 2, vi] * d[2])
+                olc.append(oli)
+                dlc.append(dli)
+            near = zero - BIG
+            far = zero + BIG
+            for i in range(3):
+                dli = dlc[i]
+                safe = jnp.where(jnp.abs(dli) < 1e-12,
+                                 jnp.where(dli < 0, -1e-12, 1e-12), dli)
+                inv = 1.0 / safe
+                ta = (vt[12 + i, vi] - olc[i]) * inv
+                tb = (vt[15 + i, vi] - olc[i]) * inv
+                near = jnp.maximum(near, jnp.minimum(ta, tb))
+                far = jnp.minimum(far, jnp.maximum(ta, tb))
+            return near, far
+
+        def volume_scatter(o, d, t_cap, vi, u):
+            near, far = volume_window(o, d, vi)
+            crosses = far > near
+            t0c = jnp.maximum(near, EPS_HIT)
+            t1c = jnp.minimum(far, t_cap)
+            inside = crosses & (t0c < t1c)
+            ray_len = jnp.sqrt(jnp.maximum(dot3(d, d), 1e-20))
+            dist_inside = (t1c - t0c) * ray_len
+            hit_dist = vt[18, vi] * jnp.log(jnp.maximum(u, 1e-38))
+            accept = inside & (hit_dist <= dist_inside)
+            return accept, t0c + hit_dist / ray_len
+
+        def occluded(o, d, t_cap, bounce_u, purpose_base):
+            t_best = t_cap * 1.0
+            hitk = (zero_u & np.uint32(0)).astype(jnp.int32)
+            dummy = []
+            t_best, hitk, _ = planar_sweep(o, d, t_best, hitk, dummy, False)
+            t_best, hitk, _ = sphere_sweep(o, d, zero, t_best, hitk, dummy, False)
+            blocked = hitk > 0
+            for vi in range(n_vol):
+                u = uniform3_dynp(
+                    bounce_u, np.uint32(purpose_base + 32 * vi)
+                )
+                acc, _ = volume_scatter(o, d, jnp.minimum(t_best, t_cap), vi, u)
+                blocked = blocked | acc
+            return blocked
+
+        def bounce_body(state):
+            # Mosaic cannot carry vector<i1> through scf.while: the boolean
+            # lanes travel as f32 masks (1.0/0.0) and are decoded here.
+            (bounce_u, o, d, tp, rad, alive_f, allow_f,
+             m_dir, m_tp, missed_f, m_prim_f) = state
+            alive = alive_f > 0.5
+            allow = allow_f > 0.5
+            missed = missed_f > 0.5
+            m_prim = m_prim_f > 0.5
+
+            t = zero + BIG
+            hitk = (zero_u & np.uint32(0)).astype(jnp.int32)
+            attrs = [zero * 1.0 for _ in range(N_GEO + N_MAT)]
+            t, hitk, attrs = planar_sweep(o, d, t, hitk, attrs, True)
+            t, hitk, attrs = sphere_sweep(o, d, tm, t, hitk, attrs, True)
+            hit = hitk > 0
+
+            is_vol = false_v
+            for vi in range(n_vol):
+                u = uniform3_dynp(bounce_u, np.uint32(64 + 32 * vi))
+                t_limit = jnp.where(hit, t, zero + BIG)
+                acc, t_v = volume_scatter(o, d, t_limit, vi, u)
+                win = acc & (~hit | (t_v < t))
+                t = jnp.where(win, t_v, t)
+                hit = hit | win
+                is_vol = is_vol | win
+                hitk = jnp.where(win, 3, hitk)
+                # inject volume material constants
+                vals = [zero, zero, zero, zero, zero, zero, zero + 1.0,
+                        vt[19, vi] + zero, vt[20, vi] + zero, zero, zero + 1.0,
+                        vt[21, vi] + zero, vt[22, vi] + zero, vt[23, vi] + zero]
+                if has_checker:
+                    vals += [zero] * 7
+                attrs = [jnp.where(win, v, a_) for v, a_ in zip(vals, attrs)]
+
+            lit = alive & ~hit
+            for c in range(3):
+                m_dir[c] = jnp.where(lit, d[c], m_dir[c])
+                m_tp[c] = jnp.where(lit, tp[c], m_tp[c])
+            is_primary = (zero_u + bounce_u) == np.uint32(0)
+            m_prim = (lit & is_primary) | (~lit & m_prim)
+            missed = missed | lit
+
+            t_rec = jnp.where(hit, t, 1.0)
+            p = [o[c] + t_rec * d[c] for c in range(3)]
+
+            is_sphere = hitk == 1
+            inv_rad = 1.0 / jnp.sqrt(jnp.maximum(attrs[6], 1e-20))
+            outn = [
+                jnp.where(is_sphere, (p[c] - attrs[3 + c]) * inv_rad, attrs[c])
+                for c in range(3)
+            ]
+            ddn = dot3(d, outn)
+            front = (ddn < 0.0) | is_vol
+            flip = jnp.where(front, 1.0, -1.0)
+            nrm = [outn[c] * flip for c in range(3)]
+            nrm[0] = jnp.where(is_vol, zero + 1.0, nrm[0])
+            nrm[1] = jnp.where(is_vol, zero, nrm[1])
+            nrm[2] = jnp.where(is_vol, zero, nrm[2])
+
+            matkind = attrs[N_GEO + 0]
+            texkind = attrs[N_GEO + 1]
+            fuzz = attrs[N_GEO + 2]
+            ior = jnp.maximum(attrs[N_GEO + 3], 1e-3)
+            col = [attrs[N_GEO + 4], attrs[N_GEO + 5], attrs[N_GEO + 6]]
+            albedo = col
+            if has_checker:
+                even = [attrs[N_GEO + 7 + c] for c in range(3)]
+                odd = [attrs[N_GEO + 10 + c] for c in range(3)]
+                inv_scale = attrs[N_GEO + 13]
+                lat = (jnp.floor(inv_scale * p[0] + 1e-4)
+                       + jnp.floor(inv_scale * p[1] + 1e-4)
+                       + jnp.floor(inv_scale * p[2] + 1e-4))
+                is_even = lat - 2.0 * jnp.floor(lat * 0.5) == 0.0
+                checker = [jnp.where(is_even, even[c], odd[c]) for c in range(3)]
+                albedo = [
+                    jnp.where(texkind == 1.0, checker[c], col[c]) for c in range(3)
+                ]
+
+            su1, su2, _ = uniform3(bounce_u, rngmod.SCATTER_U)
+            zr = 1.0 - 2.0 * su1
+            phi = np.float32(2.0 * np.pi) * su2
+            rrr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zr * zr))
+            ru = [rrr * jnp.cos(phi), rrr * jnp.sin(phi), zr]
+            ufr, _, _ = uniform3(bounce_u, rngmod.FRESNEL)
+
+            lam = [nrm[c] + ru[c] for c in range(3)]
+            near0 = ((jnp.abs(lam[0]) < 1e-8) & (jnp.abs(lam[1]) < 1e-8)
+                     & (jnp.abs(lam[2]) < 1e-8))
+            lam = [jnp.where(near0, nrm[c], lam[c]) for c in range(3)]
+
+            ddn_f = dot3(d, nrm)
+            rfl = [d[c] - nrm[c] * (2.0 * ddn_f) for c in range(3)]
+            rlen = jnp.sqrt(jnp.maximum(dot3(rfl, rfl), 1e-20))
+            met = [rfl[c] / rlen + ru[c] * fuzz for c in range(3)]
+            metal_ok = dot3(met, nrm) > 0.0
+
+            ri = jnp.where(front, 1.0 / ior, ior)
+            dlen = jnp.sqrt(jnp.maximum(dot3(d, d), 1e-20))
+            ud = [d[c] / dlen for c in range(3)]
+            udn = dot3(ud, nrm)
+            cos_t = jnp.minimum(-udn, 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = ri * sin_t > 1.0
+            r0s = (1.0 - ri) / (1.0 + ri)
+            r0s = r0s * r0s
+            omc = jnp.maximum(1.0 - cos_t, 0.0)
+            omc2 = omc * omc
+            schl = r0s + (1.0 - r0s) * omc2 * omc2 * omc
+            do_refl = cannot | (schl > ufr)
+            perp = [(ud[c] + nrm[c] * cos_t) * ri for c in range(3)]
+            parl = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - dot3(perp, perp)), 1e-20))
+            refr = [perp[c] + nrm[c] * parl for c in range(3)]
+            drefl = [ud[c] - nrm[c] * (2.0 * udn) for c in range(3)]
+            diel = [jnp.where(do_refl, drefl[c], refr[c]) for c in range(3)]
+
+            is_lam = matkind == 0.0
+            is_met = matkind == 1.0
+            is_die = matkind == 2.0
+            is_light = matkind == 3.0
+            new_d = [
+                jnp.where(is_lam, lam[c],
+                          jnp.where(is_met, met[c],
+                                    jnp.where(is_die, diel[c], ru[c])))
+                for c in range(3)
+            ]
+            atten = [jnp.where(is_die, zero + 1.0, albedo[c]) for c in range(3)]
+            scattered = ~is_light & ((is_met & metal_ok) | ~is_met)
+
+            emit_mask = alive & hit & allow & is_light
+            for c in range(3):
+                rad[c] = rad[c] + jnp.where(emit_mask, tp[c] * albedo[c], 0.0)
+
+            use_mis = (alive & hit & is_lam) if use_nee else false_v
+            if use_nee:
+                up, _, _ = uniform3(bounce_u, rngmod.LIGHT_PICK)
+                li_f = jnp.minimum(jnp.floor(up * float(n_lights)),
+                                   float(n_lights - 1))
+                ua, ub, _ = uniform3(bounce_u, rngmod.LIGHT_U)
+                lsel = [zero * 1.0 for _ in range(LT_ROWS)]
+                for l in range(n_lights):
+                    msk = li_f == float(l)
+                    for f in range(LT_ROWS):
+                        lsel[f] = jnp.where(msk, lt[f, l] + zero, lsel[f])
+                lp = [lsel[c] + ua * lsel[3 + c] + ub * lsel[6 + c] for c in range(3)]
+                tl = [lp[c] - p[c] for c in range(3)]
+                dist = jnp.sqrt(jnp.maximum(dot3(tl, tl), 1e-20))
+                ld = [tl[c] / dist for c in range(3)]
+                cos_th = dot3(nrm, ld)
+                facing = cos_th > 0.0
+                blocked = occluded(p, ld, dist - EPS_HIT, bounce_u, 65)
+                cos_l = jnp.abs(-(lsel[9] * ld[0] + lsel[10] * ld[1] + lsel[11] * ld[2]))
+                grazing = cos_l < 1e-3
+                pdf_l = (dist * dist) / jnp.maximum(cos_l * lsel[12], 1e-20)
+                pdf_b = jnp.maximum(cos_th, 0.0) * np.float32(1.0 / np.pi)
+                weight = pdf_l / jnp.maximum(pdf_l + pdf_b, 1e-20)
+                scale = cos_th / jnp.maximum(pdf_l, 1e-12) * weight * float(n_lights)
+                ok = facing & ~blocked & ~grazing & use_mis
+                for c in range(3):
+                    contrib = jnp.minimum(lsel[13 + c] * atten[c] * scale, FIREFLY)
+                    rad[c] = rad[c] + jnp.where(ok, tp[c] * contrib, 0.0)
+
+            alive = alive & hit & scattered
+            for c in range(3):
+                tp[c] = jnp.where(alive, tp[c] * atten[c], tp[c])
+                o[c] = jnp.where(alive, p[c], o[c])
+                d[c] = jnp.where(alive, new_d[c], d[c])
+            allow = ~use_mis
+
+            def enc(b):
+                return jnp.where(b, zero + 1.0, zero)
+
+            return (bounce_u + np.uint32(1), o, d, tp, rad, enc(alive),
+                    enc(allow), m_dir, m_tp, enc(missed), enc(m_prim))
+
+        def cond(state):
+            return (state[0] < np.uint32(max_depth)) & jnp.any(state[5] > 0.5)
+
+        f1v = zero + 1.0
+        state = (
+            jnp.uint32(0), list(o), list(d),
+            [f1v, f1v * 1.0, f1v * 1.0],
+            [zero * 1.0, zero * 1.0, zero * 1.0],
+            f1v * 1.0, f1v * 1.0,
+            [zero * 1.0, zero * 1.0, zero * 1.0],
+            [zero * 1.0, zero * 1.0, zero * 1.0],
+            zero * 1.0, zero * 1.0,
+        )
+        state = jax.lax.while_loop(cond, bounce_body, state)
+        (_, o, d, tp, rad, alive_f, allow_f, m_dir, m_tp, missed_f, m_prim_f) = state
+        missed = missed_f > 0.5
+        m_prim = m_prim_f > 0.5
+
+        rr[...] = rad[0]
+        rg[...] = rad[1]
+        rb[...] = rad[2]
+        mdx[...] = m_dir[0]
+        mdy[...] = m_dir[1]
+        mdz[...] = m_dir[2]
+        mtr[...] = m_tp[0]
+        mtg[...] = m_tp[1]
+        mtb[...] = m_tp[2]
+        mfl[...] = missed.astype(jnp.int32) + 2 * m_prim.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_planar", "n_sphere", "n_vol", "n_lights",
+                     "has_checker", "max_depth"),
+)
+def _call(pt, st, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
+          n_vol, n_lights, has_checker, max_depth):
+    from ..core.vec3 import V3
+
+    oc = [o.x, o.y, o.z]
+    dc = [d.x, d.y, d.z]
+    r = oc[0].shape[0]
+    block = BLOCK_ROWS * LANES
+    padded = -(-r // block) * block
+    rows = padded // LANES
+
+    def prep(a, dtype=jnp.float32):
+        if padded != r:
+            a = jnp.pad(a, (0, padded - r))
+        return a.reshape(rows, LANES).astype(dtype)
+
+    rays = [prep(a) for a in oc + dc + [tm]] + [prep(stream, jnp.uint32)]
+
+    grid = (rows // BLOCK_ROWS,)
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth),
+        grid=grid,
+        in_specs=[smem, smem, smem, smem, smem, smem] + [ray_spec] * 8,
+        out_specs=[out_spec] * 10,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        interpret=INTERPRET,
+    )(
+        jnp.asarray([n_planar, n_sphere], jnp.int32),
+        jnp.asarray([seed], jnp.uint32),
+        pt, st, vt, lt, *rays,
+    )
+    flat = [x.reshape(-1)[:r] for x in outs]
+    rad = V3(flat[0], flat[1], flat[2])
+    m_dir = V3(flat[3], flat[4], flat[5])
+    m_tp = V3(flat[6], flat[7], flat[8])
+    missed = (flat[9] & 1) == 1
+    m_primary = (flat[9] & 2) == 2
+    return rad, m_dir, m_tp, missed, m_primary
+
+
+def trace_megakernel(scene, cam, o, d, tm, stream, seed):
+    """Full bounce loop via the megakernel.  Returns (radiance V3,
+    miss_dir V3, miss_tp V3, missed, miss_primary) — the caller applies
+    the deferred miss shader."""
+    sg = jax.lax.stop_gradient
+    pt, st, vt, lt, n_planar, n_sphere, n_vol, n_lights = build_tables(sg(scene))
+    return _call(
+        pt, st, vt, lt, jnp.uint32(seed) if not hasattr(seed, "dtype") else seed,
+        sg(o), sg(d), sg(tm), stream,
+        n_planar=n_planar, n_sphere=n_sphere, n_vol=n_vol, n_lights=n_lights,
+        has_checker=scene.has_checker, max_depth=cam.max_depth,
+    )

@@ -183,3 +183,40 @@ def test_mesh_kernel_matches_frontier():
         assert (np.asarray(tri_k)[both] == np.asarray(tri_f)[both]).mean() > 0.98
     finally:
         pallas_mesh.INTERPRET = False
+
+
+def test_megakernel_matches_standard_path():
+    """The wavefront megakernel must produce the SAME image as the
+    standard integrator (identical RNG streams): cornell-like scene with
+    spheres, quads, checker plane, volume, NEE light, moving sphere."""
+    import dataclasses
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    b = grt.SceneBuilder()
+    checker_floor = b.lambertian(b.checker(0.7, (0.2, 0.2, 0.2), (0.9, 0.9, 0.9)))
+    b.plane((0, 0, 0), (0, 1, 0), checker_floor)
+    b.sphere((0, 1, -1), 0.8, b.metal((0.9, 0.8, 0.5), 0.2))
+    b.sphere((-1.8, 0.8, 0), 0.7, b.dielectric(1.5))
+    b.moving_sphere((1.8, 0.5, 0.5), (2.2, 0.9, 0.5), 0.4, b.lambertian((0.2, 0.5, 0.8)))
+    b.quad((1.0, 0.2, 0.8), (1.2, 0, 0), (0, 1.2, 0), b.lambertian((0.7, 0.2, 0.2)))
+    light = b.diffuse_light((6, 6, 6))
+    q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), light)
+    b.add_light(q)
+    b.volume_box((-3, 0, -3), (3, 3, 3), 0.02, (0.8, 0.8, 0.8))
+    scene = b.build()
+
+    from go_raytracing_tpu.camera import Camera
+
+    cam = Camera(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=4, max_depth=4,
+        look_from=(0, 2, 5), look_at=(0, 0.8, 0), background=(0.1, 0.1, 0.2),
+        vfov=45.0, use_sky_gradient=False,
+    )
+    mega.INTERPRET = True
+    try:
+        assert mega.applicable(scene)
+        img_mega = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    finally:
+        mega.INTERPRET = False
+    img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    np.testing.assert_allclose(img_mega, img_ref, rtol=1e-3, atol=2e-3)
