@@ -67,8 +67,12 @@ class MeshProto:
     inst_w2l: jnp.ndarray     # [I, 3, 4] world -> local affine
     inst_nmat: jnp.ndarray    # [I, 3, 3] normal transform (inv-transpose)
     inst_mat: jnp.ndarray     # [I] i32 material id
+    # World-space AABB of all instances (origin-cell grid for ray sorting)
+    world_bbox_min: jnp.ndarray  # [3]
+    world_bbox_max: jnp.ndarray  # [3]
     # Pallas segment-sweep kernel tables (ops/pallas_mesh.py)
     k_tri: jnp.ndarray        # [9, Tpad] padded v0/e1/e2 component rows
+    k_subtilebox: jnp.ndarray  # [n_sub, 2, 3]
     k_tilebox: jnp.ndarray    # [n_tiles, 2, 3]
     k_coarsebox: jnp.ndarray  # [n_coarse, 2, 3]
     # static
@@ -91,7 +95,8 @@ jax.tree_util.register_dataclass(
         "tri_v0", "tri_e1", "tri_e2", "level_bbox_min", "level_bbox_max",
         "leaf_start", "leaf_count", "root_bbox_min", "root_bbox_max",
         "inst_w2l", "inst_nmat", "inst_mat",
-        "k_tri", "k_tilebox", "k_coarsebox",
+        "world_bbox_min", "world_bbox_max",
+        "k_tri", "k_subtilebox", "k_tilebox", "k_coarsebox",
     ],
     meta_fields=["depth", "k_n_tiles", "k_n_coarse"],
 )
@@ -193,18 +198,30 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
     w2l = np.zeros((len(instances), 3, 4))
     nmat = np.zeros((len(instances), 3, 3))
     mats = np.zeros(len(instances), np.int32)
+    corners = np.stack(np.meshgrid(
+        [root_min[0], root_max[0]], [root_min[1], root_max[1]],
+        [root_min[2], root_max[2]], indexing="ij",
+    ), axis=-1).reshape(8, 3)
+    wmin = np.full(3, np.inf)
+    wmax = np.full(3, -np.inf)
     for i, (l2w, mat_id) in enumerate(instances):
         inv = np.linalg.inv(l2w)
         w2l[i] = inv[:3, :4]
         nmat[i] = np.linalg.inv(l2w[:3, :3]).T
         mats[i] = mat_id
+        wc = corners @ l2w[:3, :3].T + l2w[:3, 3]
+        wmin = np.minimum(wmin, wc.min(axis=0))
+        wmax = np.maximum(wmax, wc.max(axis=0))
+    if not np.all(np.isfinite(wmin)):
+        wmin, wmax = np.zeros(3), np.ones(3)
 
     e1 = v1 - v0
     e2 = v2 - v0
 
     from ..ops import pallas_mesh
 
-    ktri, tilebox, coarsebox, n_tiles, n_coarse = pallas_mesh.build_kernel_tables(
+    (ktri, subtilebox, tilebox, coarsebox, n_tiles,
+     n_coarse) = pallas_mesh.build_kernel_tables(
         v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
     )
     return MeshProto(
@@ -212,6 +229,7 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
         tri_e1=jnp.asarray(e1, jnp.float32),
         tri_e2=jnp.asarray(e2, jnp.float32),
         k_tri=jnp.asarray(ktri),
+        k_subtilebox=jnp.asarray(subtilebox),
         k_tilebox=jnp.asarray(tilebox),
         k_coarsebox=jnp.asarray(coarsebox),
         k_n_tiles=n_tiles,
@@ -225,6 +243,8 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
         inst_w2l=jnp.asarray(w2l, jnp.float32),
         inst_nmat=jnp.asarray(nmat, jnp.float32),
         inst_mat=jnp.asarray(mats),
+        world_bbox_min=jnp.asarray(wmin, jnp.float32),
+        world_bbox_max=jnp.asarray(wmax, jnp.float32),
         depth=depth,
     )
 

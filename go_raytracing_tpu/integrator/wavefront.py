@@ -125,16 +125,81 @@ def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_fl
     return t_best, idx, t_best < BIG
 
 
-def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max):
+# Sort rays before the mesh sweep once batches are big enough for block
+# coherence to matter (the kernel owns 4096-ray blocks; smaller batches
+# are one block anyway and tests stay bit-simple).
+_MESH_SORT_MIN = 1 << 16
+
+
+def _coherence_key(proto, o: V3, d: V3, t_max):
+    """Ray-sort key: 9-bit origin cell (8^3 grid over the instances' world
+    AABB) + 3-bit direction octant.  The segment-sweep kernel culls per
+    4096-ray *block*, so secondary/shadow rays — incoherent in pixel order
+    — defeat it (measured 21.6 Mrays/s coherent vs 1.6 incoherent on
+    CornellBoxLucy).  Grouping rays by cell+octant restores block
+    coherence; dead lanes (t_max <= 0) get the max key so fully-dead
+    blocks skip every box test."""
+    wmin, wmax = proto.world_bbox_min, proto.world_bbox_max
+    scale = 8.0 / jnp.maximum(wmax - wmin, 1e-6)
+
+    def cell(c, i):
+        q = jnp.floor((c - wmin[i]) * scale[i]).astype(jnp.int32)
+        return jnp.clip(q, 0, 7)
+
+    octant = (
+        (d.x > 0).astype(jnp.int32)
+        + 2 * (d.y > 0).astype(jnp.int32)
+        + 4 * (d.z > 0).astype(jnp.int32)
+    )
+    key = ((cell(o.x, 0) * 8 + cell(o.y, 1)) * 8 + cell(o.z, 2)) * 8 + octant
+    return jnp.where(t_max > 0, key, 1 << 12)
+
+
+def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max, any_hit=False):
     """Mesh closest hit: pallas segment-sweep kernel on TPU for small
-    prototypes (gather-free), XLA frontier traversal otherwise."""
+    prototypes (gather-free), XLA frontier traversal otherwise.  Kernel
+    batches are coherence-sorted (results are per-ray, so the output —
+    inverse-permuted — is bit-identical to the unsorted sweep)."""
     from ..ops import pallas_mesh
 
     if pallas_mesh.kernel_ok(proto):
         sg = jax.lax.stop_gradient
+        proto, o, d, t_max = sg(proto), sg(o), sg(d), sg(t_max)
+        r = o.x.shape[0]
+        if r >= _MESH_SORT_MIN:
+            # Permute via ONE row gather of a packed [R, 8] matrix per
+            # direction: separate [R] gathers are latency-bound at ~12 ns
+            # per element (7 of them = 240 ms at 2M rays); a row gather
+            # moves all components for one lookup (measured 18 ms).
+            order = jnp.argsort(_coherence_key(proto, o, d, t_max))
+            inv = jnp.zeros((r,), jnp.int32).at[order].set(
+                jnp.arange(r, dtype=jnp.int32)
+            )
+            fwd = jnp.stack(
+                [o.x, o.y, o.z, d.x, d.y, d.z, t_max,
+                 jnp.zeros_like(t_max)], axis=1,
+            )[order]
+            o_s = V3(fwd[:, 0], fwd[:, 1], fwd[:, 2])
+            d_s = V3(fwd[:, 3], fwd[:, 4], fwd[:, 5])
+            t, tri, inst, hit, ovf = pallas_mesh.intersect_mesh_kernel(
+                proto, o_s, d_s, t_min, fwd[:, 6], any_hit=any_hit
+            )
+            bc = jax.lax.bitcast_convert_type
+            rev = jnp.stack(
+                [t, bc(tri, jnp.float32), bc(inst, jnp.float32),
+                 hit.astype(jnp.float32)], axis=1,
+            )[inv]
+            return (
+                rev[:, 0],
+                bc(rev[:, 1], jnp.int32),
+                bc(rev[:, 2], jnp.int32),
+                rev[:, 3] > 0.5,
+                ovf,
+            )
         return pallas_mesh.intersect_mesh_kernel(
-            sg(proto), sg(o), sg(d), t_min, sg(t_max)
+            proto, o, d, t_min, t_max, any_hit=any_hit
         )
+    # Frontier fallback has no any-hit mode: closest hit answers occlusion.
     return mesh_bvh.intersect_mesh(proto, o.rows(), d.rows(), t_min, t_max)
 
 
@@ -486,10 +551,16 @@ def extract_record(scene: Scene, o: V3, d: V3, tm, t, which, idx, aux):
 
 
 def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
-             purpose_base):
+             purpose_base, active=None):
     """Shadow-ray test: anything (surface or stochastic medium) in
     (t_min, t_max)?  Mirrors world.Hit on shadow rays (rt/camera.go:582,639),
-    which includes volumes."""
+    which includes volumes.
+
+    ``active`` (optional bool mask): lanes whose answer the caller will
+    discard.  Their t_max collapses to -1 so the predicated mesh sweeps
+    (and any fully-inactive ray block) skip all box/triangle work."""
+    if active is not None:
+        t_max = jnp.where(active, t_max, -1.0)
     (t_s, _, h_s), (t_p, _, h_p) = _surface_intersects(
         scene, o, d, tm, t_min, t_max
     )
@@ -498,11 +569,14 @@ def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
         jnp.where(h_s, t_s, BIG), jnp.where(h_p, t_p, BIG)
     )
     for proto in scene.meshes:
-        t_m, _, _, h_m, _ = _mesh_intersect(
-            proto, o, d, t_min, jnp.minimum(t_surf, t_max)
+        # Any-hit mode: the kernel collapses a ray's t on its first hit so
+        # later segments prune; the returned t is unusable, but shadow rays
+        # only need `blocked`.
+        _, _, _, h_m, _ = _mesh_intersect(
+            proto, o, d, t_min, jnp.minimum(t_surf, t_max), any_hit=True
         )
         blocked = blocked | h_m
-        t_surf = jnp.where(h_m, jnp.minimum(t_surf, t_m), t_surf)
+        t_surf = jnp.where(h_m, t_min, t_surf)
     if scene.n_volumes > 0:
         u_vol = _volume_uniforms(seed, stream, bounce, purpose_base, scene.n_volumes)
         t_limit = jnp.minimum(t_surf, t_max)
@@ -517,7 +591,7 @@ def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
 
 def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
                       attenuation: V3, mat_id, seed, stream, bounce,
-                      mat_attrs=None) -> V3:
+                      mat_attrs=None, active=None) -> V3:
     """NEE toward one uniformly chosen registered quad light
     (rt/camera.go:609-678).  Returns V3 contribution (no throughput)."""
     n_lights = scene.n_lights
@@ -542,10 +616,12 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
 
     cos_theta = normal.dot(light_dir)
     facing = cos_theta > 0.0
+    shadow_active = facing if active is None else (facing & active)
 
     blocked = occluded(
         scene, p, light_dir, jnp.zeros_like(dist), SHADOW_EPS,
         dist - SHADOW_EPS, seed, stream, bounce, PURPOSE_VOL_SHADOW_AREA,
+        active=shadow_active,
     )
 
     # Emission at (u=0, v=0, light_point) (rt/camera.go:645)
@@ -578,7 +654,7 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
 
 def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
                       attenuation: V3, mat_id, seed, stream, bounce,
-                      mat_attrs=None) -> V3:
+                      mat_attrs=None, active=None) -> V3:
     """NEE toward the HDRI via importance sampling (rt/camera.go:565-607)."""
     xi1 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_ROW)
     xi2 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_COL)
@@ -586,11 +662,13 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
 
     cos_theta = normal.dot(light_dir)
     facing = cos_theta > 0.0
+    shadow_active = facing if active is None else (facing & active)
 
     r = p.x.shape[0]
     blocked = occluded(
         scene, p, light_dir, jnp.zeros((r,), p.x.dtype), SHADOW_EPS,
         jnp.full((r,), BIG), seed, stream, bounce, PURPOSE_VOL_SHADOW_HDRI,
+        active=shadow_active,
     )
 
     wi = (-ray_d).unit()
@@ -693,14 +771,17 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         (o, d, throughput, radiance, alive, allow_light,
          miss_dir, miss_tp, miss_primary, missed) = carry
 
+        # Dead lanes get t_max = -1: the predicated mesh sweeps (and any
+        # fully-terminated ray block) then skip all box/triangle work.
+        t_cap = jnp.where(alive, BIG, -1.0).astype(f32)
         if fast:
             t, which, idx, attrs = _attr_closest_hit(
-                scene, o, d, tm, vec.EPS_HIT, jnp.full((r,), BIG, f32),
+                scene, o, d, tm, vec.EPS_HIT, t_cap,
                 seed, stream, bounce,
             )
         else:
             t, which, idx, aux = closest_hit(
-                scene, o, d, tm, vec.EPS_HIT, jnp.full((r,), BIG, f32),
+                scene, o, d, tm, vec.EPS_HIT, t_cap,
                 seed, stream, bounce,
             )
         hit = which != HIT_NONE
@@ -750,12 +831,12 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
             use_mis = sc.can_use_nee & alive & hit
             direct = sample_area_light(
                 scene, cam, p, normal, d, sc.attenuation, mat_id,
-                seed, stream, bounce, mat_attrs=mat_attrs,
+                seed, stream, bounce, mat_attrs=mat_attrs, active=use_mis,
             )
             if hdri_nee:
                 direct = direct + sample_hdri_light(
                     scene, cam, p, normal, d, sc.attenuation, mat_id,
-                    seed, stream, bounce, mat_attrs=mat_attrs,
+                    seed, stream, bounce, mat_attrs=mat_attrs, active=use_mis,
                 )
             radiance = radiance + V3.select(
                 use_mis, throughput * direct, V3.zeros(use_mis.shape)

@@ -12,7 +12,17 @@ segments — the median-split BVH order), and the kernel sweeps them with
   for each instance:            cond-skip if no ray in block hits root
     for each coarse segment:    cond-skip if no ray hits segment bbox
       for each 128-tri tile:    cond-skip if no ray hits tile bbox
-        Moller-Trumbore sweep   triangle loop, (32,128)-ray tiles each
+        for each 32-tri subtile:  cond-skip if no ray hits subtile bbox
+          Moller-Trumbore sweep   triangle loop, (32,128)-ray tiles each
+
+Because triangles are in median-split leaf order, every contiguous
+segment IS a BVH node, so the segment boxes are exactly the implicit-BVH
+node boxes — the cond ladder is a breadth-limited BVH walk.
+
+``any_hit=True`` turns the sweep into a shadow/occlusion kernel: the
+first accepted hit collapses that ray's ``t_best`` to 0, which makes
+every later slab test fail for it (far <= 0 < near = t_min), so fully
+occluded blocks skip all remaining instances/segments for free.
 
 No pointers, no per-ray stacks, no gathers — the hierarchy is implicit in
 segment bounds (like the implicit wide BVH, but consumed by predicated
@@ -38,9 +48,10 @@ BIG = np.float32(3.0e38)
 # buckets of the renderer's tiled ray layout: block rays share a tight
 # frustum (so the segment early-outs prune) while grid/cond overhead
 # amortizes over 4x more rays than single-bucket blocks.
-BLOCK_ROWS = 32
+BLOCK_ROWS = 32          # (8-row blocks measured 2x slower: cond overhead)
 LANES = 128
 TILE = 128               # triangles per (cond-skippable) tile
+SUB = 32                 # triangles per (cond-skippable) subtile
 COARSE = 16              # tiles per coarse segment (2048 triangles)
 MAX_KERNEL_TRIS = 16384  # SMEM budget bound; above -> frontier traversal
 
@@ -49,10 +60,10 @@ INTERPRET = False
 
 
 def build_kernel_tables(v0, e1, e2):
-    """Host-side (NumPy): tile/coarse segment boxes + padded tri rows.
+    """Host-side (NumPy): sub/tile/coarse segment boxes + padded tri rows.
 
-    Returns (ktri [9, Tpad] f32, tilebox [n_tiles,2,3], coarsebox
-    [n_coarse,2,3], n_tiles, n_coarse).
+    Returns (ktri [9, Tpad] f32, subtilebox [n_sub,2,3], tilebox
+    [n_tiles,2,3], coarsebox [n_coarse,2,3], n_tiles, n_coarse).
     """
     v1 = v0 + e1
     v2 = v0 + e2
@@ -76,16 +87,21 @@ def build_kernel_tables(v0, e1, e2):
         mx = np.where(np.isfinite(mx), mx, -3e38)
         return np.stack([mn, mx], axis=1)
 
+    def pad_segs(boxes, want):
+        if boxes.shape[0] < want:
+            empty = np.zeros((want - boxes.shape[0], 2, 3), np.float32)
+            empty[:, 0] = np.float32(3e38)
+            empty[:, 1] = np.float32(-3e38)
+            boxes = np.concatenate([boxes, empty], axis=0)
+        return boxes
+
+    subtilebox = seg_boxes(SUB)
     tilebox = seg_boxes(TILE)
     coarsebox = seg_boxes(TILE * COARSE)
     n_coarse = coarsebox.shape[0]
-    want_tiles = n_coarse * COARSE
-    if tilebox.shape[0] < want_tiles:
-        empty = np.zeros((want_tiles - tilebox.shape[0], 2, 3), np.float32)
-        empty[:, 0] = np.float32(3e38)
-        empty[:, 1] = np.float32(-3e38)
-        tilebox = np.concatenate([tilebox, empty], axis=0)
+    tilebox = pad_segs(tilebox, n_coarse * COARSE)
     n_tiles = tilebox.shape[0]
+    subtilebox = pad_segs(subtilebox, n_tiles * (TILE // SUB))
 
     t_pad = n_tiles * TILE
     ktri = np.zeros((9, t_pad), np.float32)
@@ -97,6 +113,7 @@ def build_kernel_tables(v0, e1, e2):
     # zero-padded triangles are degenerate and never pass the MT tests
     return (
         ktri.astype(np.float32),
+        subtilebox.astype(np.float32),
         tilebox.astype(np.float32),
         coarsebox.astype(np.float32),
         n_tiles,
@@ -105,8 +122,8 @@ def build_kernel_tables(v0, e1, e2):
 
 
 def _kernel(n_inst_ref, w2l_ref, rootbox_ref, coarsebox_ref, tilebox_ref,
-            ktri_ref, ox, oy, oz, dx, dy, dz, tmax,
-            t_out, tri_out, inst_out, *, t_min, n_coarse):
+            subtilebox_ref, ktri_ref, ox, oy, oz, dx, dy, dz, tmax,
+            t_out, tri_out, inst_out, *, t_min, n_coarse, any_hit):
     o_c = [ox[...], oy[...], oz[...]]       # (32, 128) each
     d_c = [dx[...], dy[...], dz[...]]
     t_best = tmax[...] * 1.0
@@ -146,38 +163,58 @@ def _kernel(n_inst_ref, w2l_ref, rootbox_ref, coarsebox_ref, tilebox_ref,
                         ti = ci * COARSE + k
 
                         def do_tile(carry):
-                            def tri_body(jj, carry):
-                                t_best, tri_best, inst_best = carry
-                                j = ti * TILE + jj
-                                v0 = [ktri_ref[c, j] for c in range(3)]
-                                e1 = [ktri_ref[3 + c, j] for c in range(3)]
-                                e2 = [ktri_ref[6 + c, j] for c in range(3)]
+                            def sub_body(kk, carry):
+                                si = ti * (TILE // SUB) + kk
 
-                                # Moller-Trumbore, scalar tri x (32,128) rays
-                                hx = dl[1] * e2[2] - dl[2] * e2[1]
-                                hy = dl[2] * e2[0] - dl[0] * e2[2]
-                                hz = dl[0] * e2[1] - dl[1] * e2[0]
-                                a = e1[0] * hx + e1[1] * hy + e1[2] * hz
-                                parallel = jnp.abs(a) < 1e-8
-                                f = 1.0 / jnp.where(parallel, 1.0, a)
-                                sx = ol[0] - v0[0]
-                                sy = ol[1] - v0[1]
-                                sz = ol[2] - v0[2]
-                                u = f * (sx * hx + sy * hy + sz * hz)
-                                qx = sy * e1[2] - sz * e1[1]
-                                qy = sz * e1[0] - sx * e1[2]
-                                qz = sx * e1[1] - sy * e1[0]
-                                v = f * (dl[0] * qx + dl[1] * qy + dl[2] * qz)
-                                tc = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
-                                ok = (~parallel & (u >= 0.0) & (u <= 1.0)
-                                      & (v >= 0.0) & (u + v <= 1.0)
-                                      & (tc >= t_min) & (tc < t_best))
-                                t_best = jnp.where(ok, tc, t_best)
-                                tri_best = jnp.where(ok, j, tri_best)
-                                inst_best = jnp.where(ok, ii, inst_best)
-                                return t_best, tri_best, inst_best
+                                def do_sub(carry):
+                                    def tri_body(jj, carry):
+                                        t_best, tri_best, inst_best = carry
+                                        j = si * SUB + jj
+                                        v0 = [ktri_ref[c, j] for c in range(3)]
+                                        e1 = [ktri_ref[3 + c, j] for c in range(3)]
+                                        e2 = [ktri_ref[6 + c, j] for c in range(3)]
 
-                            return jax.lax.fori_loop(0, TILE, tri_body, carry)
+                                        # Moller-Trumbore, scalar tri x (32,128)
+                                        hx = dl[1] * e2[2] - dl[2] * e2[1]
+                                        hy = dl[2] * e2[0] - dl[0] * e2[2]
+                                        hz = dl[0] * e2[1] - dl[1] * e2[0]
+                                        a = e1[0] * hx + e1[1] * hy + e1[2] * hz
+                                        parallel = jnp.abs(a) < 1e-8
+                                        f = 1.0 / jnp.where(parallel, 1.0, a)
+                                        sx = ol[0] - v0[0]
+                                        sy = ol[1] - v0[1]
+                                        sz = ol[2] - v0[2]
+                                        u = f * (sx * hx + sy * hy + sz * hz)
+                                        qx = sy * e1[2] - sz * e1[1]
+                                        qy = sz * e1[0] - sx * e1[2]
+                                        qz = sx * e1[1] - sy * e1[0]
+                                        v = f * (dl[0] * qx + dl[1] * qy
+                                                 + dl[2] * qz)
+                                        tc = f * (e2[0] * qx + e2[1] * qy
+                                                  + e2[2] * qz)
+                                        ok = (~parallel & (u >= 0.0) & (u <= 1.0)
+                                              & (v >= 0.0) & (u + v <= 1.0)
+                                              & (tc >= t_min) & (tc < t_best))
+                                        if any_hit:
+                                            # Collapse t so every later slab
+                                            # test fails for occluded rays.
+                                            t_best = jnp.where(ok, 0.0, t_best)
+                                        else:
+                                            t_best = jnp.where(ok, tc, t_best)
+                                        tri_best = jnp.where(ok, j, tri_best)
+                                        inst_best = jnp.where(ok, ii, inst_best)
+                                        return t_best, tri_best, inst_best
+
+                                    return jax.lax.fori_loop(0, SUB, tri_body,
+                                                             carry)
+
+                                return jax.lax.cond(
+                                    slab_any(subtilebox_ref, si, carry[0]),
+                                    do_sub, lambda c: c, carry,
+                                )
+
+                            return jax.lax.fori_loop(0, TILE // SUB, sub_body,
+                                                     carry)
 
                         return jax.lax.cond(
                             slab_any(tilebox_ref, ti, carry[0]),
@@ -206,9 +243,9 @@ def _kernel(n_inst_ref, w2l_ref, rootbox_ref, coarsebox_ref, tilebox_ref,
     inst_out[...] = inst_best
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "n_coarse"))
-def _call(w2l, rootbox, coarsebox, tilebox, ktri, n_inst, o, d, t_max, *,
-          t_min, n_coarse):
+@functools.partial(jax.jit, static_argnames=("t_min", "n_coarse", "any_hit"))
+def _call(w2l, rootbox, coarsebox, tilebox, subtilebox, ktri, n_inst, o, d,
+          t_max, *, t_min, n_coarse, any_hit=False):
     from ..core.vec3 import V3
 
     if isinstance(o, V3):
@@ -239,9 +276,10 @@ def _call(w2l, rootbox, coarsebox, tilebox, ktri, n_inst, o, d, t_max, *,
                             memory_space=pltpu.VMEM)
 
     t, tri, inst = pl.pallas_call(
-        functools.partial(_kernel, t_min=np.float32(t_min), n_coarse=n_coarse),
+        functools.partial(_kernel, t_min=np.float32(t_min), n_coarse=n_coarse,
+                          any_hit=any_hit),
         grid=grid,
-        in_specs=[smem] * 6 + [ray_spec] * 7,
+        in_specs=[smem] * 7 + [ray_spec] * 7,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -251,7 +289,7 @@ def _call(w2l, rootbox, coarsebox, tilebox, ktri, n_inst, o, d, t_max, *,
         interpret=INTERPRET,
     )(
         jnp.asarray([n_inst], jnp.int32),
-        w2l, rootbox, coarsebox, tilebox, ktri, *rays,
+        w2l, rootbox, coarsebox, tilebox, subtilebox, ktri, *rays,
     )
     t = t.reshape(-1)[:r]
     tri = tri.reshape(-1)[:r]
@@ -260,18 +298,20 @@ def _call(w2l, rootbox, coarsebox, tilebox, ktri, n_inst, o, d, t_max, *,
     return jnp.where(hit, t, BIG), jnp.maximum(tri, 0), jnp.maximum(inst, 0), hit
 
 
-def intersect_mesh_kernel(proto, o, d, t_min, t_max):
+def intersect_mesh_kernel(proto, o, d, t_min, t_max, any_hit=False):
     """Drop-in replacement for mesh_bvh.intersect_mesh for small
     prototypes (requires proto built with kernel tables).
-    Returns (t, tri, inst, hit, overflow=0)."""
+    Returns (t, tri, inst, hit, overflow=0).  With any_hit=True the
+    returned t is meaningless for hit rays (shadow/occlusion mode);
+    only `hit` should be consumed."""
     rootbox = jnp.broadcast_to(
         jnp.stack([proto.root_bbox_min, proto.root_bbox_max], axis=0)[None],
         (proto.n_instances, 2, 3),
     )
     t, tri, inst, hit = _call(
         proto.inst_w2l, rootbox, proto.k_coarsebox, proto.k_tilebox,
-        proto.k_tri, proto.n_instances, o, d, t_max,
-        t_min=float(t_min), n_coarse=proto.k_n_coarse,
+        proto.k_subtilebox, proto.k_tri, proto.n_instances, o, d, t_max,
+        t_min=float(t_min), n_coarse=proto.k_n_coarse, any_hit=any_hit,
     )
     return t, tri, inst, hit, jnp.int32(0)
 
