@@ -1,10 +1,13 @@
 """HDRI environment maps with luminance importance sampling.
 
-TPU-native counterpart of rt/hdri.go.  The CDF build (rt/hdri.go:145-224)
-is fully vectorized host-side NumPy; render-time sampling replaces the
-per-call binary search (rt/hdri.go:300-322) with a fixed-iteration,
-batch-parallel bisection that performs O(log W) single-element gathers per
-ray instead of materializing [R, W] row slices.
+TPU-native counterpart of rt/hdri.go.  The distribution build
+(rt/hdri.go:145-224) is fully vectorized host-side NumPy; render-time
+sampling replaces the per-call binary search (rt/hdri.go:300-322) with a
+Walker ALIAS TABLE over the flattened pixel grid: 2 gathers per sample
+instead of ~21 serial bisection gathers (each latency-bound at ~12 ns on
+TPU).  The pdf table stores the alias table's exactly-encoded density,
+so MIS weights and unbiasedness are exact.  The batched bisection
+(_search_cdf_*) is retained as the semantic reference for searchCDF.
 
 Parity notes:
   - equirect mapping: phi = atan2(z, x), theta = asin(y), u = 0.5 + phi/2pi
@@ -37,6 +40,51 @@ class Environment(NamedTuple):
     marginal_cdf: jnp.ndarray     # [H + 1]
     conditional_cdf: jnp.ndarray  # [H, W + 1]
     total_power: jnp.ndarray      # scalar
+    alias_idx: jnp.ndarray        # [H * W] i32 alias cell (Walker table)
+    alias_cut: jnp.ndarray        # [H * W] f32 keep-own-cell threshold
+
+
+def _build_alias(weight: np.ndarray):
+    """Walker alias table for the flattened pixel distribution, built
+    vectorized: larges' excess mass (cumsum E) is matched to smalls'
+    deficit mass (cumsum D) with one searchsorted.  A small whose deficit
+    interval straddles two larges gets a single donor anyway (the alias
+    format allows only one), so the encoded distribution q differs from
+    the target by at most two boundary deficits per large; we therefore
+    RETURN q and use it as the pdf table, keeping the estimator exactly
+    unbiased (pdf used in MIS == true sampling density).
+
+    Returns (alias_idx [N] i32, alias_cut [N] f32, q [H, W] f64 summing
+    to 1).  Replaces the per-sample CDF bisection (rt/hdri.go:300-322):
+    O(log H + log W) serial gathers per ray (~21 at 2048x1024, each
+    latency-bound on TPU) become 2.
+    """
+    h, w = weight.shape
+    n = h * w
+    p = weight.reshape(-1).astype(np.float64)
+    total = p.sum()
+    if total <= 0 or n == 0:
+        return (
+            np.arange(max(n, 1), dtype=np.int32)[:n],
+            np.ones(n, np.float32),
+            np.zeros((h, w), np.float64),
+        )
+    scaled = p * (n / total)  # mean 1
+    cut = np.minimum(scaled, 1.0)
+    alias = np.arange(n, dtype=np.int64)
+    small = scaled < 1.0
+    idx_s = np.nonzero(small)[0]
+    idx_l = np.nonzero(~small)[0]
+    if len(idx_s) and len(idx_l):
+        deficit = 1.0 - scaled[idx_s]
+        excess = scaled[idx_l] - 1.0
+        donor = np.searchsorted(np.cumsum(excess), np.cumsum(deficit) - 1e-12)
+        alias[idx_s] = idx_l[np.minimum(donor, len(idx_l) - 1)]
+    # exact encoded distribution: own retained mass + donated-in mass
+    q = cut.copy()
+    np.add.at(q, alias[idx_s], 1.0 - scaled[idx_s])
+    q /= n
+    return alias.astype(np.int32), cut.astype(np.float32), q.reshape(h, w)
 
 
 def build_environment(data: np.ndarray, rotation_degrees: float = 0.0) -> Environment:
@@ -60,9 +108,10 @@ def build_environment(data: np.ndarray, rotation_degrees: float = 0.0) -> Enviro
 
     marg = np.zeros(h + 1, np.float64)
     np.cumsum(row_sums, out=marg[1:])
+    alias_idx, alias_cut, q = _build_alias(weight)
     if total_power > 0:
         marg /= total_power
-        pdf = weight / total_power
+        pdf = q  # sampling density actually encoded by the alias table
     else:
         pdf = weight
     return Environment(
@@ -72,6 +121,8 @@ def build_environment(data: np.ndarray, rotation_degrees: float = 0.0) -> Enviro
         marginal_cdf=jnp.asarray(marg, jnp.float32),
         conditional_cdf=jnp.asarray(cond, jnp.float32),
         total_power=jnp.float32(total_power),
+        alias_idx=jnp.asarray(alias_idx),
+        alias_cut=jnp.asarray(alias_cut),
     )
 
 
@@ -164,6 +215,18 @@ def pdf(env: Environment, d):
     return jnp.maximum(p, 1e-10)
 
 
+def _alias_pick(env: Environment, xi1, xi2):
+    """Pick a pixel from the alias table: 2 gathers instead of the
+    O(log H + log W) bisection gathers of searchCDF (rt/hdri.go:300-322).
+    Same distribution (env.pdf IS the table's encoded density)."""
+    h, w = env.data.shape[:2]
+    n = h * w
+    cell = jnp.minimum((xi1 * n).astype(jnp.int32), n - 1)
+    keep = xi2 < env.alias_cut[cell]
+    chosen = jnp.where(keep, cell, env.alias_idx[cell])
+    return chosen // w, chosen % w
+
+
 def sample_direction(env: Environment, xi1, xi2):
     """Importance-sample directions (rt/hdri.go:228-259).
 
@@ -171,13 +234,15 @@ def sample_direction(env: Environment, xi1, xi2):
     (nearest texel), pdf [R]).
     """
     h, w = env.data.shape[:2]
-    y = _search_cdf_1d(env.marginal_cdf, xi1, h)
-    x = _search_cdf_rows(env.conditional_cdf, y, xi2, w)
+    y, x = _alias_pick(env, xi1, xi2)
     u = (x.astype(jnp.float32) + 0.5) / w
     v = (y.astype(jnp.float32) + 0.5) / h
     d = uv_to_direction(env, u, v)
     emission = env.data[y, x]
-    return d, emission, pdf(env, d)
+    theta = (0.5 - v) * np.pi
+    sin_theta = jnp.maximum(jnp.cos(theta), 1e-10)
+    p = env.pdf[y, x] * (w * h) / (2.0 * np.pi * np.pi * sin_theta)
+    return d, emission, jnp.maximum(p, 1e-10)
 
 
 # -----------------------------------------------------------------------------
@@ -195,7 +260,12 @@ def _direction_to_uv_soa(env: Environment, d):
 
 
 def sample_soa(env: Environment, d):
-    """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp)."""
+    """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp).
+
+    The four texel fetches are ROW gathers of the [H*W, 3] texel table —
+    one lookup each — instead of 12 per-component element gathers
+    (gathers are latency-bound at ~12 ns/lookup on TPU; at a 9M-ray
+    miss-shader pass that is ~0.4 s vs ~1.3 s)."""
     from ..core.vec3 import V3
 
     h, w = env.data.shape[:2]
@@ -211,8 +281,11 @@ def sample_soa(env: Environment, d):
     y0c = jnp.clip(y0, 0, h - 1)
     y1c = jnp.clip(y0 + 1, 0, h - 1)
 
+    flat = env.data.reshape(h * w, 3)
+
     def texel(yy, xx):
-        return V3(env.data[yy, xx, 0], env.data[yy, xx, 1], env.data[yy, xx, 2])
+        t = flat[yy * w + xx]  # [R, 3] row gather
+        return V3(t[:, 0], t[:, 1], t[:, 2])
 
     c00 = texel(y0c, x0w)
     c10 = texel(y0c, x1w)
@@ -239,8 +312,7 @@ def sample_direction_soa(env: Environment, xi1, xi2):
     from ..core.vec3 import V3
 
     h, w = env.data.shape[:2]
-    y = _search_cdf_1d(env.marginal_cdf, xi1, h)
-    x = _search_cdf_rows(env.conditional_cdf, y, xi2, w)
+    y, x = _alias_pick(env, xi1, xi2)
     u = (x.astype(jnp.float32) + 0.5) / w
     v = (y.astype(jnp.float32) + 0.5) / h
     # uv -> direction (rt/hdri.go:96-113)
@@ -250,5 +322,8 @@ def sample_direction_soa(env: Environment, xi1, xi2):
     theta = (0.5 - v) * np.pi
     ct = jnp.cos(theta)
     d = V3(ct * jnp.cos(phi), jnp.sin(theta), ct * jnp.sin(phi))
-    emission = V3(env.data[y, x, 0], env.data[y, x, 1], env.data[y, x, 2])
-    return d, emission, pdf_soa(env, d)
+    em = env.data.reshape(h * w, 3)[y * w + x]  # one row gather, not 3
+    emission = V3(em[:, 0], em[:, 1], em[:, 2])
+    sin_theta = jnp.maximum(ct, 1e-10)
+    p = env.pdf[y, x] * (w * h) / (2.0 * np.pi * np.pi * sin_theta)
+    return d, emission, jnp.maximum(p, 1e-10)
