@@ -729,8 +729,25 @@ def _promote_vma(x, axes):
     return jax.tree_util.tree_map(one, x)
 
 
+def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:
+    """Static megakernel dispatch decision: 'off' | 'single' | 'split'.
+    Callers that jit around trace() should compute this OUTSIDE the jit
+    and pass it as a static argument, so flipping megakernel flags (env
+    vars, INTERPRET) retraces instead of silently reusing a cached
+    executable."""
+    from ..ops import pallas_wavefront as mega
+
+    use_nee = scene.n_lights > 0
+    hdri_nee = use_nee and scene.env is not None and scene.env_importance
+    if differentiable or hdri_nee or not mega.applicable(scene):
+        return "off"
+    if cam.max_depth >= mega.SPLIT_DEPTH_MIN and r >= mega.SPLIT_R_MIN:
+        return "split"
+    return "single"
+
+
 def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
-          differentiable: bool = True):
+          differentiable: bool = True, mega_mode=None):
     """Radiance for a ray megabatch.
 
     o/d: V3 (or [R,3] arrays, converted); tm/stream [R].  Returns V3.
@@ -753,11 +770,16 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
     # per-block early termination; it produces identical images (same RNG
     # streams).  HDRI-NEE scenes stay on the standard path (CDF sampling
     # needs large-table bisection the kernel doesn't do).
+    # ``mega_mode`` must be decided OUTSIDE jit by callers that want the
+    # choice in their cache key (see choose_mega_mode); a None default
+    # decides here, at trace time.
     from ..ops import pallas_wavefront as mega
 
-    if (not differentiable) and not hdri_nee and mega.applicable(scene):
+    if mega_mode is None:
+        mega_mode = choose_mega_mode(scene, cam, r, differentiable)
+    if mega_mode != "off":
         radiance, miss_dir, miss_tp, missed, miss_primary = mega.trace_megakernel(
-            scene, cam, o, d, tm, stream, seed
+            scene, cam, o, d, tm, stream, seed, split=(mega_mode == "split")
         )
         safe_dir = V3.select(
             missed, miss_dir, V3.full((r,), (0.0, 0.0, 1.0), f32)

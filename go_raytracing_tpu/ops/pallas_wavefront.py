@@ -52,6 +52,9 @@ ST_ROWS = 21  # sphere: c(3) vel(3) rad2 mat tex fuzz ior col(3) even(3) odd(3) 
 VT_ROWS = 24  # volume: w2l(12) bmin(3) bmax(3) nid mat tex col(3)
 LT_ROWS = 16  # light: q(3) u(3) v(3) n(3) area em(3)
 
+SPH_SEG = 32        # spheres per cullable segment (Morton-sorted)
+SPH_CULL_MIN = 64   # below this, brute sweep beats the cond ladder
+
 _M = np.uint32(1664525)
 _A = np.uint32(1013904223)
 
@@ -126,13 +129,49 @@ def build_tables(scene):
 
     s = scene.spheres
     n_sphere = int(s.radius.shape[0])
+    n_sph_seg = 0
+    sb = jnp.zeros((1, 2, 3), jnp.float32)
     if n_sphere:
+        if n_sphere >= SPH_CULL_MIN:
+            # Morton-sort spheres so contiguous 32-column segments are
+            # spatially tight, then record per-segment AABBs (over the
+            # full t in [0,1] motion sweep) for block-level culling.
+            mid = s.center + 0.5 * s.velocity
+            mn = mid.min(axis=0)
+            span = jnp.maximum(mid.max(axis=0) - mn, 1e-6)
+            q = jnp.clip(((mid - mn) / span * 15.999).astype(jnp.int32), 0, 15)
+
+            def spread(v):  # 4-bit -> every 3rd bit
+                out = jnp.zeros_like(v)
+                for b in range(4):
+                    out = out | (((v >> b) & 1) << (3 * b))
+                return out
+
+            key = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+                   | (spread(q[:, 2]) << 2))
+            order = jnp.argsort(key)
+            s = jax.tree_util.tree_map(lambda a: a[order], s)
+
+            n_sph_seg = -(-n_sphere // SPH_SEG)
+            c1 = s.center + s.velocity
+            lo = jnp.minimum(s.center, c1) - s.radius[:, None]
+            hi = jnp.maximum(s.center, c1) + s.radius[:, None]
+            pad = n_sph_seg * SPH_SEG - n_sphere
+            lo = jnp.pad(lo, ((0, pad), (0, 0)), constant_values=BIG)
+            hi = jnp.pad(hi, ((0, pad), (0, 0)), constant_values=-BIG)
+            sb = jnp.stack(
+                [lo.reshape(n_sph_seg, SPH_SEG, 3).min(axis=1),
+                 hi.reshape(n_sph_seg, SPH_SEG, 3).max(axis=1)], axis=1,
+            )
         rows = [
             s.center[:, 0], s.center[:, 1], s.center[:, 2],
             s.velocity[:, 0], s.velocity[:, 1], s.velocity[:, 2],
             s.radius * s.radius,
         ] + _mat_rows(scene.materials, scene.textures, s.mat)
-        st = _pad_cols(rows, n_sphere)
+        target = max(n_sph_seg * SPH_SEG, -(-n_sphere // 8) * 8, 8)
+        st = jnp.stack(
+            [jnp.pad(r, (0, target - n_sphere)) for r in rows], axis=0
+        )
     else:
         st = jnp.zeros((ST_ROWS, 8), jnp.float32)
 
@@ -172,7 +211,7 @@ def build_tables(scene):
     else:
         lt = jnp.zeros((LT_ROWS, 8), jnp.float32)
 
-    return pt, st, vt, lt, n_planar, n_sphere, n_vol, n_lights
+    return pt, st, sb, vt, lt, n_planar, n_sphere, n_sph_seg, n_vol, n_lights
 
 
 # -----------------------------------------------------------------------------
@@ -195,13 +234,27 @@ def _pcg3d(x, y, z):
     return x, y, z
 
 
-def make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth):
+def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
+                max_depth, resume=False):
     use_nee = n_lights > 0
     f24 = np.float32(2.0 ** -24)
 
-    def kernel(count_ref, seed_ref, pt, st, vt, lt,
-               ox, oy, oz, dx, dy, dz, tmr, stream_ref,
-               rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl):
+    def kernel(count_ref, seed_ref, *refs):
+        if resume:
+            # Resumable variant: full path state in/out + [start, end)
+            # bounce bounds, so the caller can re-sort surviving rays into
+            # dense blocks between phases (identical RNG streams -> same
+            # image as the single-shot kernel).
+            (bounds_ref, pt, st, sb, vt, lt,
+             ox, oy, oz, dx, dy, dz, tmr, stream_ref,
+             tpxr, tpyr, tpzr, rri, rgi, rbi, flgi,
+             mdxi, mdyi, mdzi, mtri, mtgi, mtbi,
+             rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl,
+             oox, ooy, ooz, odx, ody, odz, otx, oty, otz) = refs
+        else:
+            (pt, st, sb, vt, lt,
+             ox, oy, oz, dx, dy, dz, tmr, stream_ref,
+             rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl) = refs
         o = [ox[...], oy[...], oz[...]]
         d = [dx[...], dy[...], dz[...]]
         tm = tmr[...]
@@ -317,7 +370,40 @@ def make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth):
                     attrs = [jnp.where(upd, v, a_) for v, a_ in zip(vals, attrs)]
                 return t_best, hitk, attrs
 
-            return jax.lax.fori_loop(0, st.shape[1] if n_sphere else 0, body,
+            if not n_sph_seg:
+                return jax.lax.fori_loop(0, st.shape[1] if n_sphere else 0,
+                                         body, (t_best, hitk, attrs))
+
+            # Segment-culled sweep: spheres are Morton-sorted, so each
+            # 32-column segment is spatially tight; skip segments whose
+            # AABB no ray in the block can reach within its current t.
+            invd = []
+            for i in range(3):
+                safe = jnp.where(jnp.abs(d[i]) < 1e-12,
+                                 jnp.where(d[i] < 0, -1e-12, 1e-12), d[i])
+                invd.append(1.0 / safe)
+
+            def seg_body(si, carry):
+                def seg_any(t_cap):
+                    near = zero + EPS_HIT
+                    far = t_cap * 1.0
+                    for i in range(3):
+                        ta = (sb[si, 0, i] - o[i]) * invd[i]
+                        tb = (sb[si, 1, i] - o[i]) * invd[i]
+                        near = jnp.maximum(near, jnp.minimum(ta, tb))
+                        far = jnp.minimum(far, jnp.maximum(ta, tb))
+                    return jnp.any(far > near)
+
+                def do_seg(carry):
+                    def sub(jj, carry):
+                        return body(si * SPH_SEG + jj, carry)
+
+                    return jax.lax.fori_loop(0, SPH_SEG, sub, carry)
+
+                return jax.lax.cond(seg_any(carry[0]), do_seg,
+                                    lambda c_: c_, carry)
+
+            return jax.lax.fori_loop(0, n_sph_seg, seg_body,
                                      (t_best, hitk, attrs))
 
         def volume_window(o, d, vi):
@@ -379,12 +465,16 @@ def make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth):
             missed = missed_f > 0.5
             m_prim = m_prim_f > 0.5
 
-            t = zero + BIG
+            # Dead lanes start at t_cap = 0: the segment slab tests then
+            # fail for them, so a mostly-dead block only sweeps segments
+            # its few LIVE rays can reach (late-bounce stragglers were
+            # paying full sweeps for 4095 dead lanes).
+            t = jnp.where(alive, zero + BIG, zero)
             hitk = (zero_u & np.uint32(0)).astype(jnp.int32)
             attrs = [zero * 1.0 for _ in range(N_GEO + N_MAT)]
             t, hitk, attrs = planar_sweep(o, d, t, hitk, attrs, True)
             t, hitk, attrs = sphere_sweep(o, d, tm, t, hitk, attrs, True)
-            hit = hitk > 0
+            hit = (hitk > 0) & alive
 
             is_vol = false_v
             for vi in range(n_vol):
@@ -519,7 +609,10 @@ def make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth):
                 ld = [tl[c] / dist for c in range(3)]
                 cos_th = dot3(nrm, ld)
                 facing = cos_th > 0.0
-                blocked = occluded(p, ld, dist - EPS_HIT, bounce_u, 65)
+                # Inactive shadow lanes get t_cap = 0 so the segment slab
+                # tests skip them (same trick as the dead-lane closest hit).
+                shadow_cap = jnp.where(use_mis & facing, dist - EPS_HIT, zero)
+                blocked = occluded(p, ld, shadow_cap, bounce_u, 65)
                 cos_l = jnp.abs(-(lsel[9] * ld[0] + lsel[10] * ld[1] + lsel[11] * ld[2]))
                 grazing = cos_l < 1e-3
                 pdf_l = (dist * dist) / jnp.maximum(cos_l * lsel[12], 1e-20)
@@ -544,19 +637,39 @@ def make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth):
             return (bounce_u + np.uint32(1), o, d, tp, rad, enc(alive),
                     enc(allow), m_dir, m_tp, enc(missed), enc(m_prim))
 
+        if resume:
+            bounce_end = bounds_ref[1].astype(jnp.uint32)
+        else:
+            bounce_end = np.uint32(max_depth)
+
         def cond(state):
-            return (state[0] < np.uint32(max_depth)) & jnp.any(state[5] > 0.5)
+            return (state[0] < bounce_end) & jnp.any(state[5] > 0.5)
 
         f1v = zero + 1.0
-        state = (
-            jnp.uint32(0), list(o), list(d),
-            [f1v, f1v * 1.0, f1v * 1.0],
-            [zero * 1.0, zero * 1.0, zero * 1.0],
-            f1v * 1.0, f1v * 1.0,
-            [zero * 1.0, zero * 1.0, zero * 1.0],
-            [zero * 1.0, zero * 1.0, zero * 1.0],
-            zero * 1.0, zero * 1.0,
-        )
+        if resume:
+            flg = flgi[...]
+            state = (
+                bounds_ref[0].astype(jnp.uint32),
+                list(o), list(d),
+                [tpxr[...], tpyr[...], tpzr[...]],
+                [rri[...], rgi[...], rbi[...]],
+                jnp.where((flg & 4) > 0, f1v, zero),
+                jnp.where((flg & 8) > 0, f1v, zero),
+                [mdxi[...], mdyi[...], mdzi[...]],
+                [mtri[...], mtgi[...], mtbi[...]],
+                jnp.where((flg & 1) > 0, f1v, zero),
+                jnp.where((flg & 2) > 0, f1v, zero),
+            )
+        else:
+            state = (
+                jnp.uint32(0), list(o), list(d),
+                [f1v, f1v * 1.0, f1v * 1.0],
+                [zero * 1.0, zero * 1.0, zero * 1.0],
+                f1v * 1.0, f1v * 1.0,
+                [zero * 1.0, zero * 1.0, zero * 1.0],
+                [zero * 1.0, zero * 1.0, zero * 1.0],
+                zero * 1.0, zero * 1.0,
+            )
         state = jax.lax.while_loop(cond, bounce_body, state)
         (_, o, d, tp, rad, alive_f, allow_f, m_dir, m_tp, missed_f, m_prim_f) = state
         missed = missed_f > 0.5
@@ -571,18 +684,32 @@ def make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth):
         mtr[...] = m_tp[0]
         mtg[...] = m_tp[1]
         mtb[...] = m_tp[2]
-        mfl[...] = missed.astype(jnp.int32) + 2 * m_prim.astype(jnp.int32)
+        mfl[...] = (
+            missed.astype(jnp.int32) + 2 * m_prim.astype(jnp.int32)
+            + 4 * (alive_f > 0.5).astype(jnp.int32)
+            + 8 * (allow_f > 0.5).astype(jnp.int32)
+        )
+        if resume:
+            oox[...] = o[0]
+            ooy[...] = o[1]
+            ooz[...] = o[2]
+            odx[...] = d[0]
+            ody[...] = d[1]
+            odz[...] = d[2]
+            otx[...] = tp[0]
+            oty[...] = tp[1]
+            otz[...] = tp[2]
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_planar", "n_sphere", "n_vol", "n_lights",
-                     "has_checker", "max_depth"),
+    static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
+                     "n_lights", "has_checker", "max_depth"),
 )
-def _call(pt, st, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
-          n_vol, n_lights, has_checker, max_depth):
+def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
+          n_sph_seg, n_vol, n_lights, has_checker, max_depth):
     from ..core.vec3 import V3
 
     oc = [o.x, o.y, o.z]
@@ -607,9 +734,10 @@ def _call(pt, st, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        make_kernel(n_planar, n_sphere, n_vol, n_lights, has_checker, max_depth),
+        make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
+                    has_checker, max_depth),
         grid=grid,
-        in_specs=[smem, smem, smem, smem, smem, smem] + [ray_spec] * 8,
+        in_specs=[smem] * 7 + [ray_spec] * 8,
         out_specs=[out_spec] * 10,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
@@ -617,7 +745,7 @@ def _call(pt, st, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
     )(
         jnp.asarray([n_planar, n_sphere], jnp.int32),
         jnp.asarray([seed], jnp.uint32),
-        pt, st, vt, lt, *rays,
+        pt, st, sb, vt, lt, *rays,
     )
     flat = [x.reshape(-1)[:r] for x in outs]
     rad = V3(flat[0], flat[1], flat[2])
@@ -628,15 +756,163 @@ def _call(pt, st, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
     return rad, m_dir, m_tp, missed, m_primary
 
 
-def trace_megakernel(scene, cam, o, d, tm, stream, seed):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
+                     "n_lights", "has_checker", "max_depth", "b_start",
+                     "b_end"),
+)
+def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
+                 n_sph_seg, n_vol, n_lights, has_checker, max_depth,
+                 b_start, b_end):
+    """Resumable phase: `flat` is the 21-tuple of [R] state arrays
+    (o3, d3, tm, stream, tp3, rad3, flags, mdir3, mtp3); returns the
+    19-tuple (rad3, mdir3, mtp3, flags, o3, d3, tp3) of [R] arrays."""
+    r = flat[0].shape[0]
+    block = BLOCK_ROWS * LANES
+    padded = -(-r // block) * block
+    rows = padded // LANES
+
+    def prep(a):
+        if padded != r:
+            a = jnp.pad(a, (0, padded - r))
+        return a.reshape(rows, LANES)
+
+    rays = [prep(a) for a in flat]
+
+    grid = (rows // BLOCK_ROWS,)
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    f32s = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
+                    has_checker, max_depth, resume=True),
+        grid=grid,
+        in_specs=[smem] * 8 + [ray_spec] * 21,
+        out_specs=[out_spec] * 19,
+        out_shape=[f32s] * 3 + [f32s] * 6 + [i32s] + [f32s] * 9,
+        interpret=INTERPRET,
+    )(
+        jnp.asarray([n_planar, n_sphere], jnp.int32),
+        jnp.asarray([seed], jnp.uint32),
+        jnp.asarray([b_start, b_end], jnp.int32),
+        pt, st, sb, vt, lt, *rays,
+    )
+    return tuple(x.reshape(-1)[:r] for x in outs)
+
+
+# Split thresholds: a mid-loop re-sort only pays when the tail of the
+# bounce loop is long enough that straggler blocks dominate.  Measured on
+# RandomScene depth 10: the split's fixed cost (second launch + full-state
+# HBM round trip + sort, ~0.3 s at 5M rays) exceeds the straggler savings
+# at depths <= 10, so it engages only for very deep configs (the
+# reference exposes depth up to 50).
+SPLIT_DEPTH_MIN = 16
+SPLIT_R_MIN = 1 << 18
+SPLIT_AT = 4
+
+
+def _phase_state_sort(flat, alive):
+    """Sort the 21-array state so live rays pack into dense (4096-ray)
+    blocks, ordered by (origin cell, direction octant) for sweep
+    coherence; dead rays sink to the back where whole blocks early-exit.
+    One packed [R, 24] row gather moves everything (separate [R] gathers
+    are latency-bound ~12 ns/element)."""
+    ox, oy, oz, dx, dy, dz = flat[0], flat[1], flat[2], flat[3], flat[4], flat[5]
+    mn = [jnp.min(c) for c in (ox, oy, oz)]
+    mx = [jnp.max(c) for c in (ox, oy, oz)]
+
+    def cell(c, i):
+        scale = 8.0 / jnp.maximum(mx[i] - mn[i], 1e-6)
+        return jnp.clip(jnp.floor((c - mn[i]) * scale).astype(jnp.int32), 0, 7)
+
+    octant = ((dx > 0).astype(jnp.int32) + 2 * (dy > 0).astype(jnp.int32)
+              + 4 * (dz > 0).astype(jnp.int32))
+    key = ((cell(ox, 0) * 8 + cell(oy, 1)) * 8 + cell(oz, 2)) * 8 + octant
+    key = jnp.where(alive, key, 1 << 13)
+    order = jnp.argsort(key)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
+
+    bc = jax.lax.bitcast_convert_type
+    cols = []
+    for a in flat:
+        cols.append(bc(a, jnp.float32) if a.dtype != jnp.float32 else a)
+    pad = [jnp.zeros_like(cols[0])] * (24 - len(cols))
+    packed = jnp.stack(cols + pad, axis=1)[order]
+    out = []
+    for i, a in enumerate(flat):
+        c = packed[:, i]
+        out.append(bc(c, a.dtype) if a.dtype != jnp.float32 else c)
+    return tuple(out), inv
+
+
+def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None):
     """Full bounce loop via the megakernel.  Returns (radiance V3,
     miss_dir V3, miss_tp V3, missed, miss_primary) — the caller applies
-    the deferred miss shader."""
+    the deferred miss shader.  ``split=None`` decides the phase split
+    from the SPLIT_* thresholds; pass an explicit bool to pin it (and
+    keep the decision in the caller's jit cache key)."""
+    from ..core.vec3 import V3
+
     sg = jax.lax.stop_gradient
-    pt, st, vt, lt, n_planar, n_sphere, n_vol, n_lights = build_tables(sg(scene))
-    return _call(
-        pt, st, vt, lt, jnp.uint32(seed) if not hasattr(seed, "dtype") else seed,
-        sg(o), sg(d), sg(tm), stream,
-        n_planar=n_planar, n_sphere=n_sphere, n_vol=n_vol, n_lights=n_lights,
+    (pt, st, sb, vt, lt, n_planar, n_sphere, n_sph_seg, n_vol,
+     n_lights) = build_tables(sg(scene))
+    seed_u = jnp.uint32(seed) if not hasattr(seed, "dtype") else seed
+    statics = dict(
+        n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
+        n_vol=n_vol, n_lights=n_lights,
         has_checker=scene.has_checker, max_depth=cam.max_depth,
     )
+    r = o.x.shape[0]
+    if split is None:
+        split = cam.max_depth >= SPLIT_DEPTH_MIN and r >= SPLIT_R_MIN
+    if not split:
+        return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
+                     stream, **statics)
+
+    # Phase 1: bounces [0, SPLIT_AT) in pixel order (primary coherence).
+    o, d, tm = sg(o), sg(d), sg(tm)
+    zero = jnp.zeros_like(o.x)
+    one = jnp.ones_like(o.x)
+    flags0 = jnp.full(o.x.shape, 4 + 8, jnp.int32)  # alive | allowLightHits
+    flat = (o.x, o.y, o.z, d.x, d.y, d.z, tm, stream,
+            one, one * 1.0, one * 1.0,            # throughput
+            zero, zero * 1.0, zero * 1.0,         # radiance
+            flags0,
+            zero * 1.0, zero * 1.0, zero * 1.0,   # miss dir
+            zero * 1.0, zero * 1.0, zero * 1.0)   # miss throughput
+    out1 = _call_resume(pt, st, sb, vt, lt, seed_u, flat,
+                        b_start=0, b_end=SPLIT_AT, **statics)
+    rad3, mdir3, mtp3 = out1[0:3], out1[3:6], out1[6:9]
+    flg1 = out1[9]
+    o3, d3, tp3 = out1[10:13], out1[13:16], out1[16:19]
+
+    # Re-sort survivors into dense coherent blocks, then finish the loop.
+    alive1 = (flg1 & 4) > 0
+    flat2 = (o3[0], o3[1], o3[2], d3[0], d3[1], d3[2], tm, stream,
+             tp3[0], tp3[1], tp3[2], rad3[0], rad3[1], rad3[2], flg1,
+             mdir3[0], mdir3[1], mdir3[2], mtp3[0], mtp3[1], mtp3[2])
+    flat2s, inv = _phase_state_sort(flat2, alive1)
+    out2 = _call_resume(pt, st, sb, vt, lt, seed_u, flat2s,
+                        b_start=SPLIT_AT, b_end=cam.max_depth, **statics)
+
+    # Inverse-permute the consumed outputs with one packed row gather.
+    bc = jax.lax.bitcast_convert_type
+    res = list(out2[0:9]) + [out2[9]]
+    cols = [bc(a, jnp.float32) if a.dtype != jnp.float32 else a for a in res]
+    cols += [jnp.zeros_like(cols[0])] * (16 - len(cols))
+    packed = jnp.stack(cols, axis=1)[inv]
+    rad = V3(packed[:, 0], packed[:, 1], packed[:, 2])
+    m_dir = V3(packed[:, 3], packed[:, 4], packed[:, 5])
+    m_tp = V3(packed[:, 6], packed[:, 7], packed[:, 8])
+    flg = bc(packed[:, 9], jnp.int32)
+    missed = (flg & 1) == 1
+    m_primary = (flg & 2) == 2
+    return rad, m_dir, m_tp, missed, m_primary

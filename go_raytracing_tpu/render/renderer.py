@@ -117,10 +117,12 @@ def scene_tiled(scene) -> bool:
 
 
 @partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth", "differentiable"),
+         static_argnames=("cam", "spp", "chunk", "max_depth", "differentiable",
+                          "mega_mode"),
          donate_argnames=("accum",))
 def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
-                  chunk: int, max_depth: int, differentiable: bool = False):
+                  chunk: int, max_depth: int, differentiable: bool = False,
+                  mega_mode: str = None):
     """Trace ``chunk`` rays starting at global ray id ``ray_start`` and
     scatter-add their radiance into the flat accumulator [W*H, 3]."""
     w, h = cam.image_width, cam.image_height
@@ -143,7 +145,8 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
     cam2 = dataclasses.replace(cam, max_depth=max_depth)
     o, d, tm = generate_rays(cam2, px, py, stream, seed)
     radiance = wavefront.trace(
-        scene, cam2, o, d, tm, stream, seed, differentiable=differentiable
+        scene, cam2, o, d, tm, stream, seed, differentiable=differentiable,
+        mega_mode=mega_mode,
     )
     rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
     return accum.at[pixel].add(rows)
@@ -197,6 +200,13 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
     start = sample_offset * n_virt
     total = logical_spp * n_virt
 
+    # Megakernel dispatch decided OUTSIDE the jit so it participates in
+    # the compilation-cache key (env flags / INTERPRET flips retrace).
+    cam_d = dataclasses.replace(cam, max_depth=max_depth)
+    mega_mode = wavefront.choose_mega_mode(
+        scene, cam_d, chunk, differentiable
+    )
+
     t0 = time.perf_counter()
     pos = start
     n_chunks = 0
@@ -204,7 +214,7 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
         flat = _render_chunk(
             scene, cam, flat, jnp.uint32(pos), seed,
             spp=logical_spp, chunk=chunk, max_depth=max_depth,
-            differentiable=differentiable,
+            differentiable=differentiable, mega_mode=mega_mode,
         )
         pos += chunk
         n_chunks += 1

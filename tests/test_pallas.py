@@ -220,3 +220,80 @@ def test_megakernel_matches_standard_path():
         mega.INTERPRET = False
     img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
     np.testing.assert_allclose(img_mega, img_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_megakernel_sphere_segment_culling_matches():
+    """>= 64 spheres triggers the Morton-sorted segment-culled sphere
+    sweep; the image must stay identical to the standard integrator."""
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    b = grt.SceneBuilder()
+    b.plane((0, 0, 0), (0, 1, 0), b.lambertian((0.5, 0.5, 0.5)))
+    k = 0
+    for i in range(9):
+        for j in range(9):
+            x, z = i - 4.0, j - 4.0
+            mat = [
+                b.lambertian((0.2 + 0.08 * (k % 9), 0.4, 0.6)),
+                b.metal((0.8, 0.7, 0.6), 0.05 * (k % 5)),
+                b.dielectric(1.5),
+            ][k % 3]
+            if k % 7 == 0:
+                b.moving_sphere((x, 0.2, z), (x, 0.4, z), 0.18, mat)
+            else:
+                b.sphere((x, 0.2, z), 0.2, mat)
+            k += 1
+    scene = b.build()
+    assert scene.spheres.radius.shape[0] >= mega.SPH_CULL_MIN
+
+    from go_raytracing_tpu.camera import Camera
+
+    cam = Camera(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=2, max_depth=4,
+        look_from=(6, 3, 6), look_at=(0, 0, 0), background=(0.6, 0.7, 0.9),
+        vfov=40.0, use_sky_gradient=True,
+    )
+    mega.INTERPRET = True
+    try:
+        assert mega.applicable(scene)
+        img_mega = np.asarray(grt.render_image(scene, cam, spp=2, seed=5))
+    finally:
+        mega.INTERPRET = False
+    img_ref = np.asarray(grt.render_image(scene, cam, spp=2, seed=5))
+    np.testing.assert_allclose(img_mega, img_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_megakernel_phase_split_matches():
+    """The mid-loop re-sort phase split (resumable kernel) must be
+    image-identical to the single-shot megakernel / standard path."""
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    b = grt.SceneBuilder()
+    b.plane((0, 0, 0), (0, 1, 0), b.lambertian((0.5, 0.5, 0.5)))
+    for i in range(10):
+        b.sphere((i - 5.0, 0.4, -1.0 + 0.3 * i), 0.4,
+                 b.lambertian((0.3, 0.5 + 0.05 * i, 0.4)))
+    b.sphere((0, 1.2, 1.5), 0.6, b.metal((0.9, 0.9, 0.9), 0.0))
+    light = b.diffuse_light((5, 5, 5))
+    q = b.quad((-1, 5, -1), (2, 0, 0), (0, 0, 2), light)
+    b.add_light(q)
+    scene = b.build()
+
+    from go_raytracing_tpu.camera import Camera
+
+    cam = Camera(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=2, max_depth=9,
+        look_from=(0, 2, 6), look_at=(0, 0.5, 0), background=(0.3, 0.4, 0.6),
+        vfov=45.0, use_sky_gradient=False,
+    )
+    saved = (mega.SPLIT_R_MIN, mega.SPLIT_DEPTH_MIN)
+    mega.INTERPRET = True
+    mega.SPLIT_R_MIN, mega.SPLIT_DEPTH_MIN = 1, 1
+    try:
+        assert mega.applicable(scene)
+        img_split = np.asarray(grt.render_image(scene, cam, spp=2, seed=3))
+    finally:
+        mega.INTERPRET = False
+        mega.SPLIT_R_MIN, mega.SPLIT_DEPTH_MIN = saved
+    img_ref = np.asarray(grt.render_image(scene, cam, spp=2, seed=3))
+    np.testing.assert_allclose(img_split, img_ref, rtol=1e-3, atol=2e-3)
