@@ -72,6 +72,7 @@ class MeshProto:
     world_bbox_max: jnp.ndarray  # [3]
     # Pallas segment-sweep kernel tables (ops/pallas_mesh.py)
     k_tri: jnp.ndarray        # [9, Tpad] padded v0/e1/e2 component rows
+    k_leafbox: jnp.ndarray    # [n_leaf, 2, 3]
     k_subtilebox: jnp.ndarray  # [n_sub, 2, 3]
     k_tilebox: jnp.ndarray    # [n_tiles, 2, 3]
     k_coarsebox: jnp.ndarray  # [n_coarse, 2, 3]
@@ -96,7 +97,7 @@ jax.tree_util.register_dataclass(
         "leaf_start", "leaf_count", "root_bbox_min", "root_bbox_max",
         "inst_w2l", "inst_nmat", "inst_mat",
         "world_bbox_min", "world_bbox_max",
-        "k_tri", "k_subtilebox", "k_tilebox", "k_coarsebox",
+        "k_tri", "k_leafbox", "k_subtilebox", "k_tilebox", "k_coarsebox",
     ],
     meta_fields=["depth", "k_n_tiles", "k_n_coarse"],
 )
@@ -220,7 +221,7 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
 
     from ..ops import pallas_mesh
 
-    (ktri, subtilebox, tilebox, coarsebox, n_tiles,
+    (ktri, leafbox, subtilebox, tilebox, coarsebox, n_tiles,
      n_coarse) = pallas_mesh.build_kernel_tables(
         v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
     )
@@ -229,6 +230,7 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
         tri_e1=jnp.asarray(e1, jnp.float32),
         tri_e2=jnp.asarray(e2, jnp.float32),
         k_tri=jnp.asarray(ktri),
+        k_leafbox=jnp.asarray(leafbox),
         k_subtilebox=jnp.asarray(subtilebox),
         k_tilebox=jnp.asarray(tilebox),
         k_coarsebox=jnp.asarray(coarsebox),

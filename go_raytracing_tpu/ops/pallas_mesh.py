@@ -52,6 +52,7 @@ BLOCK_ROWS = 32          # (8-row blocks measured 2x slower: cond overhead)
 LANES = 128
 TILE = 128               # triangles per (cond-skippable) tile
 SUB = 32                 # triangles per (cond-skippable) subtile
+LEAF = 8                 # triangles per (cond-skippable) leaf = BVH leaf
 COARSE = 16              # tiles per coarse segment (2048 triangles)
 MAX_KERNEL_TRIS = 16384  # SMEM budget bound; above -> frontier traversal
 
@@ -62,8 +63,9 @@ INTERPRET = False
 def build_kernel_tables(v0, e1, e2):
     """Host-side (NumPy): sub/tile/coarse segment boxes + padded tri rows.
 
-    Returns (ktri [9, Tpad] f32, subtilebox [n_sub,2,3], tilebox
-    [n_tiles,2,3], coarsebox [n_coarse,2,3], n_tiles, n_coarse).
+    Returns (ktri [9, Tpad] f32, leafbox [n_leaf,2,3], subtilebox
+    [n_sub,2,3], tilebox [n_tiles,2,3], coarsebox [n_coarse,2,3],
+    n_tiles, n_coarse).
     """
     v1 = v0 + e1
     v2 = v0 + e2
@@ -95,6 +97,7 @@ def build_kernel_tables(v0, e1, e2):
             boxes = np.concatenate([boxes, empty], axis=0)
         return boxes
 
+    leafbox = seg_boxes(LEAF)
     subtilebox = seg_boxes(SUB)
     tilebox = seg_boxes(TILE)
     coarsebox = seg_boxes(TILE * COARSE)
@@ -102,6 +105,7 @@ def build_kernel_tables(v0, e1, e2):
     tilebox = pad_segs(tilebox, n_coarse * COARSE)
     n_tiles = tilebox.shape[0]
     subtilebox = pad_segs(subtilebox, n_tiles * (TILE // SUB))
+    leafbox = pad_segs(leafbox, n_tiles * (TILE // LEAF))
 
     t_pad = n_tiles * TILE
     ktri = np.zeros((9, t_pad), np.float32)
@@ -113,6 +117,7 @@ def build_kernel_tables(v0, e1, e2):
     # zero-padded triangles are degenerate and never pass the MT tests
     return (
         ktri.astype(np.float32),
+        leafbox.astype(np.float32),
         subtilebox.astype(np.float32),
         tilebox.astype(np.float32),
         coarsebox.astype(np.float32),
@@ -122,8 +127,8 @@ def build_kernel_tables(v0, e1, e2):
 
 
 def _kernel(n_inst_ref, w2l_ref, rootbox_ref, coarsebox_ref, tilebox_ref,
-            subtilebox_ref, ktri_ref, ox, oy, oz, dx, dy, dz, tmax,
-            t_out, tri_out, inst_out, *, t_min, n_coarse, any_hit):
+            subtilebox_ref, leafbox_ref, ktri_ref, ox, oy, oz, dx, dy, dz,
+            tmax, t_out, tri_out, inst_out, *, t_min, n_coarse, any_hit):
     o_c = [ox[...], oy[...], oz[...]]       # (32, 128) each
     d_c = [dx[...], dy[...], dz[...]]
     t_best = tmax[...] * 1.0
@@ -167,46 +172,75 @@ def _kernel(n_inst_ref, w2l_ref, rootbox_ref, coarsebox_ref, tilebox_ref,
                                 si = ti * (TILE // SUB) + kk
 
                                 def do_sub(carry):
-                                    def tri_body(jj, carry):
-                                        t_best, tri_best, inst_best = carry
-                                        j = si * SUB + jj
-                                        v0 = [ktri_ref[c, j] for c in range(3)]
-                                        e1 = [ktri_ref[3 + c, j] for c in range(3)]
-                                        e2 = [ktri_ref[6 + c, j] for c in range(3)]
+                                    def leaf_body(ll, carry):
+                                        li = si * (SUB // LEAF) + ll
 
-                                        # Moller-Trumbore, scalar tri x (32,128)
-                                        hx = dl[1] * e2[2] - dl[2] * e2[1]
-                                        hy = dl[2] * e2[0] - dl[0] * e2[2]
-                                        hz = dl[0] * e2[1] - dl[1] * e2[0]
-                                        a = e1[0] * hx + e1[1] * hy + e1[2] * hz
-                                        parallel = jnp.abs(a) < 1e-8
-                                        f = 1.0 / jnp.where(parallel, 1.0, a)
-                                        sx = ol[0] - v0[0]
-                                        sy = ol[1] - v0[1]
-                                        sz = ol[2] - v0[2]
-                                        u = f * (sx * hx + sy * hy + sz * hz)
-                                        qx = sy * e1[2] - sz * e1[1]
-                                        qy = sz * e1[0] - sx * e1[2]
-                                        qz = sx * e1[1] - sy * e1[0]
-                                        v = f * (dl[0] * qx + dl[1] * qy
-                                                 + dl[2] * qz)
-                                        tc = f * (e2[0] * qx + e2[1] * qy
-                                                  + e2[2] * qz)
-                                        ok = (~parallel & (u >= 0.0) & (u <= 1.0)
-                                              & (v >= 0.0) & (u + v <= 1.0)
-                                              & (tc >= t_min) & (tc < t_best))
-                                        if any_hit:
-                                            # Collapse t so every later slab
-                                            # test fails for occluded rays.
-                                            t_best = jnp.where(ok, 0.0, t_best)
-                                        else:
-                                            t_best = jnp.where(ok, tc, t_best)
-                                        tri_best = jnp.where(ok, j, tri_best)
-                                        inst_best = jnp.where(ok, ii, inst_best)
-                                        return t_best, tri_best, inst_best
+                                        def do_leaf(carry):
+                                            def tri_body(jj, carry):
+                                                t_best, tri_best, inst_best = carry
+                                                j = li * LEAF + jj
+                                                v0 = [ktri_ref[c, j]
+                                                      for c in range(3)]
+                                                e1 = [ktri_ref[3 + c, j]
+                                                      for c in range(3)]
+                                                e2 = [ktri_ref[6 + c, j]
+                                                      for c in range(3)]
 
-                                    return jax.lax.fori_loop(0, SUB, tri_body,
-                                                             carry)
+                                                # Moller-Trumbore:
+                                                # scalar tri x (32,128) rays
+                                                hx = dl[1] * e2[2] - dl[2] * e2[1]
+                                                hy = dl[2] * e2[0] - dl[0] * e2[2]
+                                                hz = dl[0] * e2[1] - dl[1] * e2[0]
+                                                a = (e1[0] * hx + e1[1] * hy
+                                                     + e1[2] * hz)
+                                                parallel = jnp.abs(a) < 1e-8
+                                                f = 1.0 / jnp.where(parallel,
+                                                                    1.0, a)
+                                                sx = ol[0] - v0[0]
+                                                sy = ol[1] - v0[1]
+                                                sz = ol[2] - v0[2]
+                                                u = f * (sx * hx + sy * hy
+                                                         + sz * hz)
+                                                qx = sy * e1[2] - sz * e1[1]
+                                                qy = sz * e1[0] - sx * e1[2]
+                                                qz = sx * e1[1] - sy * e1[0]
+                                                v = f * (dl[0] * qx + dl[1] * qy
+                                                         + dl[2] * qz)
+                                                tc = f * (e2[0] * qx
+                                                          + e2[1] * qy
+                                                          + e2[2] * qz)
+                                                ok = (~parallel & (u >= 0.0)
+                                                      & (u <= 1.0) & (v >= 0.0)
+                                                      & (u + v <= 1.0)
+                                                      & (tc >= t_min)
+                                                      & (tc < t_best))
+                                                if any_hit:
+                                                    # Collapse t: every later
+                                                    # slab test fails for
+                                                    # occluded rays.
+                                                    t_best = jnp.where(
+                                                        ok, 0.0, t_best)
+                                                else:
+                                                    t_best = jnp.where(
+                                                        ok, tc, t_best)
+                                                tri_best = jnp.where(
+                                                    ok, j, tri_best)
+                                                inst_best = jnp.where(
+                                                    ok, ii, inst_best)
+                                                return (t_best, tri_best,
+                                                        inst_best)
+
+                                            return jax.lax.fori_loop(
+                                                0, LEAF, tri_body, carry)
+
+                                        return jax.lax.cond(
+                                            slab_any(leafbox_ref, li,
+                                                     carry[0]),
+                                            do_leaf, lambda c: c, carry,
+                                        )
+
+                                    return jax.lax.fori_loop(
+                                        0, SUB // LEAF, leaf_body, carry)
 
                                 return jax.lax.cond(
                                     slab_any(subtilebox_ref, si, carry[0]),
@@ -244,8 +278,8 @@ def _kernel(n_inst_ref, w2l_ref, rootbox_ref, coarsebox_ref, tilebox_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "n_coarse", "any_hit"))
-def _call(w2l, rootbox, coarsebox, tilebox, subtilebox, ktri, n_inst, o, d,
-          t_max, *, t_min, n_coarse, any_hit=False):
+def _call(w2l, rootbox, coarsebox, tilebox, subtilebox, leafbox, ktri,
+          n_inst, o, d, t_max, *, t_min, n_coarse, any_hit=False):
     from ..core.vec3 import V3
 
     if isinstance(o, V3):
@@ -279,7 +313,7 @@ def _call(w2l, rootbox, coarsebox, tilebox, subtilebox, ktri, n_inst, o, d,
         functools.partial(_kernel, t_min=np.float32(t_min), n_coarse=n_coarse,
                           any_hit=any_hit),
         grid=grid,
-        in_specs=[smem] * 7 + [ray_spec] * 7,
+        in_specs=[smem] * 8 + [ray_spec] * 7,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -289,7 +323,7 @@ def _call(w2l, rootbox, coarsebox, tilebox, subtilebox, ktri, n_inst, o, d,
         interpret=INTERPRET,
     )(
         jnp.asarray([n_inst], jnp.int32),
-        w2l, rootbox, coarsebox, tilebox, subtilebox, ktri, *rays,
+        w2l, rootbox, coarsebox, tilebox, subtilebox, leafbox, ktri, *rays,
     )
     t = t.reshape(-1)[:r]
     tri = tri.reshape(-1)[:r]
@@ -310,7 +344,8 @@ def intersect_mesh_kernel(proto, o, d, t_min, t_max, any_hit=False):
     )
     t, tri, inst, hit = _call(
         proto.inst_w2l, rootbox, proto.k_coarsebox, proto.k_tilebox,
-        proto.k_subtilebox, proto.k_tri, proto.n_instances, o, d, t_max,
+        proto.k_subtilebox, proto.k_leafbox, proto.k_tri,
+        proto.n_instances, o, d, t_max,
         t_min=float(t_min), n_coarse=proto.k_n_coarse, any_hit=any_hit,
     )
     return t, tri, inst, hit, jnp.int32(0)
