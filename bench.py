@@ -53,6 +53,54 @@ def bench_scene(name, cfg):
     return accum, n_rays / wall / 1e6, wall, cam
 
 
+def bench_grad():
+    """BASELINE's literal headline: Mrays/s/chip **fwd+bwd** on Cornell.
+
+    Times one full inverse-rendering gradient (render/grad.py): forward
+    framebuffer + parameter VJPs for every (pixel, sample) chunk — i.e.
+    every camera ray is traced forward AND backward once."""
+    import dataclasses
+    import time
+
+    import numpy as np
+    import go_raytracing_tpu as grt
+    from go_raytracing_tpu.render.grad import render_grad
+
+    cfg = ALL_CONFIGS["cornell"]
+    scene, cam = grt.load_scene("cornell")
+    cam = dataclasses.replace(
+        cam, image_width=cfg["width"], aspect_ratio=cfg["aspect"],
+        samples_per_pixel=cfg["spp"], max_depth=cfg["depth"],
+    )
+    spp = cam.samples_per_pixel
+    target = np.asarray(grt.render(scene, cam, spp=spp, seed=7)) / spp
+
+    def run():
+        loss, grads = render_grad(scene, cam, target, spp=spp, seed=0)
+        # force materialization through the tunnel
+        s = float(loss) + sum(float(np.asarray(g).sum()) for g in grads.values())
+        return loss, s
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    loss, _ = run()
+    wall = time.perf_counter() - t0
+    n_rays = cam.image_width * cam.image_height * spp
+    return n_rays / wall / 1e6, wall, float(loss)
+
+
+def main_grad():
+    mrays, wall, loss = bench_grad()
+    print(json.dumps({
+        "metric": "cornell_fwd_bwd_camera_mrays_per_s_per_chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 0.4, 2),
+        "wall_s": round(wall, 2),
+        "loss": loss,
+    }))
+
+
 def main_all():
     """Bench every BASELINE config; write BENCH_DETAIL.json."""
     results = {}
@@ -92,5 +140,7 @@ def main():
 if __name__ == "__main__":
     if "--all" in sys.argv:
         main_all()
+    elif "--grad" in sys.argv:
+        main_grad()
     else:
         main()

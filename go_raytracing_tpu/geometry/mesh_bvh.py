@@ -40,7 +40,7 @@ BRANCH = 8          # children per wide node (3 binary median splits)
 # [P,8]) level of box tests for 4x less leaf-phase gather volume — XLA
 # gathers cost ~8 ns/element on TPU, so leaf fetch volume dominates.
 LEAF_SIZE = 8
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)  # numpy, not jnp: module import must not init the XLA backend (jax.distributed.initialize comes first on pods)
 
 
 # -----------------------------------------------------------------------------
@@ -70,16 +70,21 @@ class MeshProto:
     # World-space AABB of all instances (origin-cell grid for ray sorting)
     world_bbox_min: jnp.ndarray  # [3]
     world_bbox_max: jnp.ndarray  # [3]
-    # Pallas segment-sweep kernel tables (ops/pallas_mesh.py)
+    # Pallas segment-sweep kernel tables (ops/pallas_mesh.py; small meshes)
     k_tri: jnp.ndarray        # [9, Tpad] padded v0/e1/e2 component rows
     k_leafbox: jnp.ndarray    # [n_leaf, 2, 3]
     k_subtilebox: jnp.ndarray  # [n_sub, 2, 3]
     k_tilebox: jnp.ndarray    # [n_tiles, 2, 3]
     k_coarsebox: jnp.ndarray  # [n_coarse, 2, 3]
+    # Pallas leaf-stream tables (ops/pallas_mesh_stream.py; large meshes)
+    s_tri: jnp.ndarray        # [S, 9, SEG] per-segment tri rows (HBM)
+    s_box: jnp.ndarray        # [S, 6, BOX_ROW] per-segment box ladders
+    s_segbox: jnp.ndarray     # [S, 6] segment boxes (SMEM)
     # static
     depth: int = field(default=0, metadata=dict(static=True))
     k_n_tiles: int = field(default=0, metadata=dict(static=True))
     k_n_coarse: int = field(default=0, metadata=dict(static=True))
+    s_n_seg: int = field(default=0, metadata=dict(static=True))
 
     @property
     def n_instances(self) -> int:
@@ -98,8 +103,9 @@ jax.tree_util.register_dataclass(
         "inst_w2l", "inst_nmat", "inst_mat",
         "world_bbox_min", "world_bbox_max",
         "k_tri", "k_leafbox", "k_subtilebox", "k_tilebox", "k_coarsebox",
+        "s_tri", "s_box", "s_segbox",
     ],
-    meta_fields=["depth", "k_n_tiles", "k_n_coarse"],
+    meta_fields=["depth", "k_n_tiles", "k_n_coarse", "s_n_seg"],
 )
 
 
@@ -219,12 +225,31 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
     e1 = v1 - v0
     e2 = v2 - v0
 
-    from ..ops import pallas_mesh
+    from ..ops import pallas_mesh, pallas_mesh_stream
 
-    (ktri, leafbox, subtilebox, tilebox, coarsebox, n_tiles,
-     n_coarse) = pallas_mesh.build_kernel_tables(
-        v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
-    )
+    # One resident-kernel table set per size class: small prototypes fit
+    # the whole mesh in SMEM (pallas_mesh); large ones get leaf-stream
+    # segments DMA'd from HBM (pallas_mesh_stream).  Building only the
+    # applicable set keeps big meshes from paying double table memory.
+    if n_tris <= pallas_mesh.MAX_KERNEL_TRIS:
+        (ktri, leafbox, subtilebox, tilebox, coarsebox, n_tiles,
+         n_coarse) = pallas_mesh.build_kernel_tables(
+            v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
+        )
+        s_tri = np.zeros((0, 9, pallas_mesh_stream.SEG), np.float32)
+        s_box = np.zeros((0, 6, pallas_mesh_stream.BOX_ROW), np.float32)
+        s_segbox = np.zeros((0, 6), np.float32)
+        s_n_seg = 0
+    else:
+        ktri = np.zeros((9, 0), np.float32)
+        leafbox = subtilebox = tilebox = coarsebox = np.zeros(
+            (0, 2, 3), np.float32
+        )
+        n_tiles = n_coarse = 0
+        (s_tri, s_box, s_segbox,
+         s_n_seg) = pallas_mesh_stream.build_stream_tables(
+            v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
+        )
     return MeshProto(
         tri_v0=jnp.asarray(v0, jnp.float32),
         tri_e1=jnp.asarray(e1, jnp.float32),
@@ -236,6 +261,10 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
         k_coarsebox=jnp.asarray(coarsebox),
         k_n_tiles=n_tiles,
         k_n_coarse=n_coarse,
+        s_tri=jnp.asarray(s_tri),
+        s_box=jnp.asarray(s_box),
+        s_segbox=jnp.asarray(s_segbox),
+        s_n_seg=s_n_seg,
         level_bbox_min=tuple(level_bbox_min),
         level_bbox_max=tuple(level_bbox_max),
         leaf_start=jnp.asarray(leaf_start),

@@ -43,7 +43,7 @@ KIND_TRI = 1
 KIND_CIRCLE = 2
 KIND_PLANE = 3
 
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)  # numpy, not jnp: module import must not init the XLA backend (jax.distributed.initialize comes first on pods)
 
 
 class SpherePack(NamedTuple):

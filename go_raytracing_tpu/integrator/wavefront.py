@@ -130,6 +130,12 @@ def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_fl
 # are one block anyway and tests stay bit-simple).
 _MESH_SORT_MIN = 1 << 16
 
+# Frontier capacity multiple for the XLA mesh fallback
+# (mesh_bvh.intersect_mesh cap_factor).  Module-level so tests can force
+# overflow; dropped (ray, node) pairs are *counted* and surfaced through
+# trace(..., with_stats=True) -> RenderStats.mesh_overflow — never silent.
+MESH_CAP_FACTOR = 8
+
 
 def _coherence_key(proto, o: V3, d: V3, t_max):
     """Ray-sort key: 9-bit origin cell (8^3 grid over the instances' world
@@ -157,12 +163,19 @@ def _coherence_key(proto, o: V3, d: V3, t_max):
 
 def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max, any_hit=False):
     """Mesh closest hit: pallas segment-sweep kernel on TPU for small
-    prototypes (gather-free), XLA frontier traversal otherwise.  Kernel
-    batches are coherence-sorted (results are per-ray, so the output —
-    inverse-permuted — is bit-identical to the unsorted sweep)."""
-    from ..ops import pallas_mesh
+    prototypes (gather-free), leaf-stream DMA kernel for large ones,
+    XLA frontier traversal otherwise.  Kernel batches are
+    coherence-sorted (results are per-ray, so the output — inverse-
+    permuted — is bit-identical to the unsorted sweep)."""
+    from ..ops import pallas_mesh, pallas_mesh_stream
 
     if pallas_mesh.kernel_ok(proto):
+        kern = pallas_mesh.intersect_mesh_kernel
+    elif pallas_mesh_stream.stream_ok(proto):
+        kern = pallas_mesh_stream.intersect_mesh_stream
+    else:
+        kern = None
+    if kern is not None:
         sg = jax.lax.stop_gradient
         proto, o, d, t_max = sg(proto), sg(o), sg(d), sg(t_max)
         r = o.x.shape[0]
@@ -181,7 +194,7 @@ def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max, any_hit=False):
             )[order]
             o_s = V3(fwd[:, 0], fwd[:, 1], fwd[:, 2])
             d_s = V3(fwd[:, 3], fwd[:, 4], fwd[:, 5])
-            t, tri, inst, hit, ovf = pallas_mesh.intersect_mesh_kernel(
+            t, tri, inst, hit, ovf = kern(
                 proto, o_s, d_s, t_min, fwd[:, 6], any_hit=any_hit
             )
             bc = jax.lax.bitcast_convert_type
@@ -196,11 +209,10 @@ def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max, any_hit=False):
                 rev[:, 3] > 0.5,
                 ovf,
             )
-        return pallas_mesh.intersect_mesh_kernel(
-            proto, o, d, t_min, t_max, any_hit=any_hit
-        )
+        return kern(proto, o, d, t_min, t_max, any_hit=any_hit)
     # Frontier fallback has no any-hit mode: closest hit answers occlusion.
-    return mesh_bvh.intersect_mesh(proto, o.rows(), d.rows(), t_min, t_max)
+    return mesh_bvh.intersect_mesh(proto, o.rows(), d.rows(), t_min, t_max,
+                                   cap_factor=MESH_CAP_FACTOR)
 
 
 def _surface_intersects(scene: Scene, o: V3, d: V3, tm, t_min, t_max):
@@ -405,7 +417,8 @@ def _attr_record_and_albedo(scene: Scene, o: V3, d: V3, t, which, attrs):
 def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce):
     """Closest surface hit, then stochastic volume preemption.
 
-    Returns (t [R], which [R] i32, idx [R], aux [R] mesh-instance id).
+    Returns (t [R], which [R] i32, idx [R], aux [R] mesh-instance id,
+    overflow scalar i32 — dropped frontier pairs, see MESH_CAP_FACTOR).
     """
     (t_s, i_s, h_s), (t_p, i_p, h_p) = _surface_intersects(
         scene, o, d, tm, t_min, t_max
@@ -421,16 +434,18 @@ def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, boun
     idx = jnp.where(sphere_wins, i_s, i_p)
     hit_surf = h_s | h_p
     aux = jnp.zeros_like(idx)
+    overflow = jnp.int32(0)
 
     for mi, proto in enumerate(scene.meshes):
         t_limit = jnp.where(hit_surf, jnp.minimum(t_surf, t_max), t_max)
-        t_m, tri_m, inst_m, h_m, _ovf = _mesh_intersect(proto, o, d, t_min, t_limit)
+        t_m, tri_m, inst_m, h_m, ovf = _mesh_intersect(proto, o, d, t_min, t_limit)
         mesh_wins = h_m & (~hit_surf | (t_m < t_surf))
         t_surf = jnp.where(mesh_wins, t_m, t_surf)
         which = jnp.where(mesh_wins, HIT_MESH_BASE + mi, which).astype(jnp.int32)
         idx = jnp.where(mesh_wins, tri_m, idx)
         aux = jnp.where(mesh_wins, inst_m, aux)
         hit_surf = hit_surf | h_m
+        overflow = overflow + jnp.asarray(ovf, jnp.int32)
 
     if scene.n_volumes > 0:
         t_limit = jnp.where(hit_surf, t_surf, jnp.full_like(t_surf, BIG))
@@ -441,7 +456,7 @@ def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, boun
         which = jnp.where(vol_wins, HIT_VOLUME, which).astype(jnp.int32)
         idx = jnp.where(vol_wins, i_v, idx)
 
-    return t_surf, which, idx, aux
+    return t_surf, which, idx, aux, overflow
 
 
 def _sphere_record(pack: packs.SpherePack, idx, o: V3, d: V3, tm, t):
@@ -568,21 +583,23 @@ def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
     t_surf = jnp.minimum(
         jnp.where(h_s, t_s, BIG), jnp.where(h_p, t_p, BIG)
     )
+    overflow = jnp.int32(0)
     for proto in scene.meshes:
         # Any-hit mode: the kernel collapses a ray's t on its first hit so
         # later segments prune; the returned t is unusable, but shadow rays
         # only need `blocked`.
-        _, _, _, h_m, _ = _mesh_intersect(
+        _, _, _, h_m, ovf = _mesh_intersect(
             proto, o, d, t_min, jnp.minimum(t_surf, t_max), any_hit=True
         )
         blocked = blocked | h_m
         t_surf = jnp.where(h_m, t_min, t_surf)
+        overflow = overflow + jnp.asarray(ovf, jnp.int32)
     if scene.n_volumes > 0:
         u_vol = _volume_uniforms(seed, stream, bounce, purpose_base, scene.n_volumes)
         t_limit = jnp.minimum(t_surf, t_max)
         _, _, h_v = _sample_volumes(scene.volumes, o, d, t_min, t_limit, u_vol)
         blocked = blocked | h_v
-    return blocked
+    return blocked, overflow
 
 
 # -----------------------------------------------------------------------------
@@ -591,9 +608,10 @@ def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
 
 def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
                       attenuation: V3, mat_id, seed, stream, bounce,
-                      mat_attrs=None, active=None) -> V3:
+                      mat_attrs=None, active=None):
     """NEE toward one uniformly chosen registered quad light
-    (rt/camera.go:609-678).  Returns V3 contribution (no throughput)."""
+    (rt/camera.go:609-678).  Returns (V3 contribution (no throughput),
+    mesh-frontier overflow scalar)."""
     n_lights = scene.n_lights
     u_pick = rngmod.uniform(seed, stream, bounce, rngmod.LIGHT_PICK)
     li = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
@@ -618,7 +636,7 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     facing = cos_theta > 0.0
     shadow_active = facing if active is None else (facing & active)
 
-    blocked = occluded(
+    blocked, overflow = occluded(
         scene, p, light_dir, jnp.zeros_like(dist), SHADOW_EPS,
         dist - SHADOW_EPS, seed, stream, bounce, PURPOSE_VOL_SHADOW_AREA,
         active=shadow_active,
@@ -649,13 +667,14 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     scale = cos_theta / jnp.maximum(pdf_light, 1e-12) * weight * float(n_lights)
     contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
     ok = facing & ~blocked & ~grazing
-    return V3.select(ok, contrib, V3.zeros(ok.shape))
+    return V3.select(ok, contrib, V3.zeros(ok.shape)), overflow
 
 
 def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
                       attenuation: V3, mat_id, seed, stream, bounce,
-                      mat_attrs=None, active=None) -> V3:
-    """NEE toward the HDRI via importance sampling (rt/camera.go:565-607)."""
+                      mat_attrs=None, active=None):
+    """NEE toward the HDRI via importance sampling (rt/camera.go:565-607).
+    Returns (V3 contribution, mesh-frontier overflow scalar)."""
     xi1 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_ROW)
     xi2 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_COL)
     light_dir, emission, pdf_h = hdri_mod.sample_direction_soa(scene.env, xi1, xi2)
@@ -665,7 +684,7 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     shadow_active = facing if active is None else (facing & active)
 
     r = p.x.shape[0]
-    blocked = occluded(
+    blocked, overflow = occluded(
         scene, p, light_dir, jnp.zeros((r,), p.x.dtype), SHADOW_EPS,
         jnp.full((r,), BIG), seed, stream, bounce, PURPOSE_VOL_SHADOW_HDRI,
         active=shadow_active,
@@ -682,7 +701,7 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     scale = cos_theta / jnp.maximum(pdf_h, 1e-12) * weight
     contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
     ok = facing & ~blocked
-    return V3.select(ok, contrib, V3.zeros(ok.shape))
+    return V3.select(ok, contrib, V3.zeros(ok.shape)), overflow
 
 
 def _miss_radiance(scene: Scene, cam: Camera, d: V3, primary) -> V3:
@@ -747,10 +766,13 @@ def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:
 
 
 def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
-          differentiable: bool = True, mega_mode=None):
+          differentiable: bool = True, mega_mode=None, with_stats: bool = False):
     """Radiance for a ray megabatch.
 
-    o/d: V3 (or [R,3] arrays, converted); tm/stream [R].  Returns V3.
+    o/d: V3 (or [R,3] arrays, converted); tm/stream [R].  Returns V3, or
+    (V3, stats dict) when ``with_stats``; stats carries ``mesh_overflow``
+    — the total dropped frontier pairs (scalar i32), which must be 0 for
+    a trustworthy render (see MESH_CAP_FACTOR).
     ``differentiable=False`` (renders/benches) allows the gather-free
     winner-attribute fast path on TPU; gradient-bearing traces keep the
     differentiable gather path for material/texture parameters.
@@ -785,13 +807,15 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
             missed, miss_dir, V3.full((r,), (0.0, 0.0, 1.0), f32)
         )
         miss_col = _miss_radiance(scene, cam, safe_dir, miss_primary)
-        return radiance + V3.select(
+        out = radiance + V3.select(
             missed, miss_tp * miss_col, V3.zeros((r,), f32)
         )
+        # megakernel scenes have no meshes (mega.applicable) -> no frontier
+        return (out, dict(mesh_overflow=jnp.int32(0))) if with_stats else out
 
     def bounce_step(carry, bounce):
         (o, d, throughput, radiance, alive, allow_light,
-         miss_dir, miss_tp, miss_primary, missed) = carry
+         miss_dir, miss_tp, miss_primary, missed, ovf_total) = carry
 
         # Dead lanes get t_max = -1: the predicated mesh sweeps (and any
         # fully-terminated ray block) then skip all box/triangle work.
@@ -802,10 +826,11 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
                 seed, stream, bounce,
             )
         else:
-            t, which, idx, aux = closest_hit(
+            t, which, idx, aux, ovf = closest_hit(
                 scene, o, d, tm, vec.EPS_HIT, t_cap,
                 seed, stream, bounce,
             )
+            ovf_total = ovf_total + ovf
         hit = which != HIT_NONE
 
         # --- miss: DEFERRED environment evaluation ------------------------
@@ -851,15 +876,18 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         use_mis = alive & False
         if use_nee:
             use_mis = sc.can_use_nee & alive & hit
-            direct = sample_area_light(
+            direct, ovf = sample_area_light(
                 scene, cam, p, normal, d, sc.attenuation, mat_id,
                 seed, stream, bounce, mat_attrs=mat_attrs, active=use_mis,
             )
+            ovf_total = ovf_total + ovf
             if hdri_nee:
-                direct = direct + sample_hdri_light(
+                hdri_direct, ovf = sample_hdri_light(
                     scene, cam, p, normal, d, sc.attenuation, mat_id,
                     seed, stream, bounce, mat_attrs=mat_attrs, active=use_mis,
                 )
+                direct = direct + hdri_direct
+                ovf_total = ovf_total + ovf
             radiance = radiance + V3.select(
                 use_mis, throughput * direct, V3.zeros(use_mis.shape)
             )
@@ -872,7 +900,7 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         allow_light = ~use_mis  # rt/camera.go:493 vs :514
 
         return (o, d, throughput, radiance, alive, allow_light,
-                miss_dir, miss_tp, miss_primary, missed), None
+                miss_dir, miss_tp, miss_primary, missed, ovf_total), None
 
     # Inside shard_map the scan carry must have consistent varying-manual-
     # axes: promote every component to the union of the ray inputs' vma.
@@ -891,6 +919,7 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
             V3.zeros((r,), f32),    # miss throughput
             jnp.zeros((r,), bool),  # miss on primary segment
             jnp.zeros((r,), bool),  # missed at all
+            jnp.int32(0),           # mesh frontier overflow
         ),
         axes,
     )
@@ -912,7 +941,7 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
 
         _, carry = lax.while_loop(cond, body, (jnp.uint32(0), init))
     (o, d, throughput, radiance, alive, allow_light,
-     miss_dir, miss_tp, miss_primary, missed) = carry
+     miss_dir, miss_tp, miss_primary, missed, ovf_total) = carry
 
     # Deferred miss-shader evaluation (once per ray, not once per bounce).
     safe_dir = V3.select(missed, miss_dir, V3.full((r,), (0.0, 0.0, 1.0), f32))
@@ -920,4 +949,6 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
     radiance = radiance + V3.select(
         missed, miss_tp * miss_col, V3.zeros((r,), f32)
     )
+    if with_stats:
+        return radiance, dict(mesh_overflow=ovf_total)
     return radiance

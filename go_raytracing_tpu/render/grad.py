@@ -1,0 +1,123 @@
+"""Chunked gradient rendering (inverse rendering at full resolution).
+
+``sharding.train_step`` traces every ray in ONE program — fine for small
+tuning problems, but a full-resolution 100-SPP Cornell gradient (20M
+camera rays x depth-5 scan residuals) cannot hold its reverse-mode
+activations in HBM at once.  This module computes the same gradients in
+SPP/ray chunks, exploiting that the pixel-MSE loss is *quadratic in the
+framebuffer*:
+
+    L(fb)       = mean((fb/spp - target)^2)
+    dL/dparams  = sum_chunks  d<radiance_chunk, g_fb>/dparams,
+    g_fb        = dL/dfb = 2 (fb/spp - target) / (N * spp)   (a constant
+                  once fb is known)
+
+so pass 1 renders fb on the FAST forward path (winner-attribute /
+megakernel kernels — bit-identical to the differentiable gather path,
+tested), and pass 2 accumulates per-chunk parameter VJPs with the
+constant cotangent g_fb.  Peak memory is one chunk's residuals.
+
+This is the production inverse-rendering loop and what ``bench.py
+--grad`` measures (BASELINE's "Mrays/s/chip fwd+bwd" headline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, generate_rays
+from ..geometry.scene import Scene
+from ..integrator import wavefront
+from ..parallel.sharding import apply_params, trainable_params
+from . import renderer as rmod
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth"))
+def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
+               spp: int, chunk: int, max_depth: int):
+    """Parameter gradient of <chunk radiance, g_fb> for one ray chunk.
+
+    Mirrors renderer._render_chunk's ray-id -> pixel mapping exactly, so
+    summing over all chunks covers every (pixel, sample) once."""
+    w, h = cam.image_width, cam.image_height
+    tiled = rmod.scene_tiled(scene)
+    _, _, n_virt = rmod.ray_layout(w, h, tiled)
+    total = n_virt * spp
+
+    ids = ray_start + jnp.arange(chunk, dtype=jnp.uint32)
+    valid = ids < total
+    ids = jnp.minimum(ids, total - 1)
+    px, py, in_bounds = rmod._id_to_pixel(ids % n_virt, w, h, tiled)
+    valid = valid & in_bounds
+    pixel = (py * w + jnp.minimum(px, w - 1)).astype(jnp.uint32)
+    pixel = jnp.minimum(pixel, w * h - 1)
+    stream = ids
+
+    cam2 = dataclasses.replace(cam, max_depth=max_depth)
+    o, d, tm = generate_rays(cam2, px, py, stream, seed)
+    cot = jnp.where(valid[:, None], g_fb_flat[pixel], 0.0)  # [chunk, 3]
+
+    def inner(params):
+        s = apply_params(scene, params)
+        radiance = wavefront.trace(
+            s, cam2, o, d, tm, stream, seed, differentiable=True
+        )
+        return jnp.sum(radiance.rows() * cot)
+
+    return jax.grad(inner)(trainable_params(scene))
+
+
+def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
+                max_depth: Optional[int] = None, seed: int = 0,
+                chunk: Optional[int] = None,
+                stats: Optional[rmod.RenderStats] = None):
+    """Full-resolution loss + parameter gradients, chunked.
+
+    target: [H, W, 3] image the render is being fit to.
+    Returns (loss, grads dict) where grads matches
+    ``sharding.trainable_params``.  Gradients are EXACTLY those of
+    mean((render/spp - target)^2) because the loss is quadratic in the
+    framebuffer (see module docstring) and forward/backward replay the
+    same RNG streams.
+    """
+    spp = cam.samples_per_pixel if spp is None else spp
+    max_depth = cam.max_depth if max_depth is None else max_depth
+    w, h = cam.image_width, cam.image_height
+    _, _, n_virt = rmod.ray_layout(w, h, rmod.scene_tiled(scene))
+    if chunk is None:
+        # gradient residuals (scan carries) cost ~2x the forward: halve
+        chunk = max(rmod.pick_chunk_size(scene) // 2, 1024)
+        chunk = min(chunk, max(1024, -(-n_virt * spp // 1024) * 1024))
+
+    # Pass 1: forward framebuffer on the fast path (identical image).
+    fb = rmod.render(scene, cam, spp=spp, max_depth=max_depth, seed=seed,
+                     chunk=chunk, stats=stats)
+    n = w * h * 3
+    target = jnp.asarray(target, jnp.float32).reshape(h, w, 3)
+    resid = fb / spp - target
+    loss = jnp.mean(resid * resid)
+    g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
+
+    # Pass 2: accumulate parameter VJPs chunk by chunk.
+    grads = jax.tree_util.tree_map(
+        jnp.zeros_like, trainable_params(scene)
+    )
+    total = n_virt * spp
+    pos = 0
+    n_chunks = 0
+    while pos < total:
+        g = _chunk_vjp(scene, cam, g_fb_flat, jnp.uint32(pos), seed,
+                       spp=spp, chunk=chunk, max_depth=max_depth)
+        grads = jax.tree_util.tree_map(jnp.add, grads, g)
+        pos += chunk
+        n_chunks += 1
+    if stats is not None:
+        stats.chunks += n_chunks
+    return loss, grads

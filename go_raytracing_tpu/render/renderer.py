@@ -144,12 +144,12 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
 
     cam2 = dataclasses.replace(cam, max_depth=max_depth)
     o, d, tm = generate_rays(cam2, px, py, stream, seed)
-    radiance = wavefront.trace(
+    radiance, tstats = wavefront.trace(
         scene, cam2, o, d, tm, stream, seed, differentiable=differentiable,
-        mega_mode=mega_mode,
+        mega_mode=mega_mode, with_stats=True,
     )
     rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
-    return accum.at[pixel].add(rows)
+    return accum.at[pixel].add(rows), tstats["mesh_overflow"]
 
 
 @dataclasses.dataclass
@@ -157,6 +157,10 @@ class RenderStats:
     rays_traced: int = 0
     wall_seconds: float = 0.0
     chunks: int = 0
+    # Dropped mesh-frontier (ray, node) pairs (mesh_bvh.intersect_mesh
+    # capacity overruns).  Nonzero means hits may have been missed —
+    # raise wavefront.MESH_CAP_FACTOR.  Always 0 on the Pallas kernel path.
+    mesh_overflow: int = 0
 
     @property
     def rays_per_second(self) -> float:
@@ -210,12 +214,14 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
     t0 = time.perf_counter()
     pos = start
     n_chunks = 0
+    overflow = jnp.int32(0)
     while pos < total:
-        flat = _render_chunk(
+        flat, ovf = _render_chunk(
             scene, cam, flat, jnp.uint32(pos), seed,
             spp=logical_spp, chunk=chunk, max_depth=max_depth,
             differentiable=differentiable, mega_mode=mega_mode,
         )
+        overflow = overflow + ovf
         pos += chunk
         n_chunks += 1
     if hasattr(flat, "block_until_ready"):  # absent under jax.grad tracing
@@ -226,6 +232,10 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
         stats.rays_traced += total - start
         stats.wall_seconds += dt
         stats.chunks += n_chunks
+        try:
+            stats.mesh_overflow += int(overflow)
+        except (TypeError, jax.errors.TracerIntegerConversionError):
+            pass  # under jax.grad tracing the count isn't concrete
     return flat.reshape(h, w, 3)
 
 

@@ -47,7 +47,7 @@ def main(argv=None):
     ch = jax.jit(lambda o, d: wavefront.closest_hit(scene, o, d, tm, 1e-3, tmax, 0, stream, 0))
     dt = _timeit(ch, o, d)
     print(f"closest_hit      : {dt*1e3:8.2f} ms  ({n/dt/1e6:7.1f} Mrays/s)")
-    t, which, idx, aux = ch(o, d)
+    t, which, idx, aux, _ovf = ch(o, d)
 
     rec = jax.jit(lambda o, d, t: wavefront.extract_record(scene, o, d, tm, t, which, idx, aux))
     dt = _timeit(rec, o, d, t)

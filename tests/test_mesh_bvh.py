@@ -132,3 +132,54 @@ def test_lucy_scene_renders():
     img = np.asarray(grt.render_image(scene, cam, spp=2))
     assert np.isfinite(img).all()
     assert img.mean() > 0.005
+
+
+def test_frontier_overflow_surfaced():
+    """Dropped frontier pairs must be *observable*: with a tiny capacity
+    the overflow count is nonzero (and hits may be missed); with the
+    default MESH_CAP_FACTOR it is exactly 0 on the same rays."""
+    from go_raytracing_tpu.integrator import wavefront
+    from go_raytracing_tpu.core.vec3 import V3
+
+    verts, tris, instances, proto = _mesh_scene(n_inst=4)
+    n = 256
+    rng = np.random.default_rng(1)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 2.0
+    # Aim every ray at instance 0's center (with jitter) so the frontier
+    # holds many live (ray, node) pairs per level.
+    target = np.array([-1.0, 0.0, -3.0], np.float32)
+    d = (target[None, :] - o + 0.1 * rng.normal(size=(n, 3))).astype(np.float32)
+    o_v = V3.from_rows(jnp.asarray(o))
+    d_v = V3.from_rows(jnp.asarray(d))
+    t_max = jnp.full((n,), 3e38, jnp.float32)
+
+    _, _, _, _, ovf_default = wavefront._mesh_intersect(
+        proto, o_v, d_v, 1e-3, t_max
+    )
+    assert int(ovf_default) == 0
+
+    old = wavefront.MESH_CAP_FACTOR
+    try:
+        wavefront.MESH_CAP_FACTOR = 1  # far below instances * levels
+        _, _, _, _, ovf_tiny = wavefront._mesh_intersect(
+            proto, o_v, d_v, 1e-3, t_max
+        )
+    finally:
+        wavefront.MESH_CAP_FACTOR = old
+    assert int(ovf_tiny) > 0
+
+
+def test_render_stats_overflow_zero():
+    """End-to-end: a normal mesh render reports mesh_overflow == 0."""
+    import dataclasses
+    from go_raytracing_tpu.render.renderer import RenderStats
+
+    scene, cam = grt.load_scene("cornell-lucy")
+    cam = dataclasses.replace(cam, image_width=8, samples_per_pixel=1,
+                              max_depth=2)
+    stats = RenderStats()
+    img = np.asarray(grt.render(scene, cam, spp=1, stats=stats))
+    assert np.isfinite(img).all()
+    assert stats.mesh_overflow == 0
+    assert stats.chunks >= 1

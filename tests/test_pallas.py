@@ -45,6 +45,29 @@ def _rays(n=700, seed=1):
     return o, d, tm, tmax
 
 
+def _sphere_grazing_margin(pack, o, d, tm):
+    """Per-ray min over spheres of |closest-approach - radius| / radius.
+
+    Near 0 means the ray grazes *some* sphere tangentially — the regime
+    where the kernel's expanded f32 quadratic and the jnp path's top-2
+    refined quadratic legitimately disagree about hit/miss."""
+    o = np.asarray(o, np.float64)
+    dn = np.asarray(d, np.float64)
+    dn = dn / np.linalg.norm(dn, axis=-1, keepdims=True)
+    c = np.asarray(pack.center, np.float64)[None] + (
+        np.asarray(pack.velocity, np.float64)[None]
+        * np.asarray(tm, np.float64)[:, None, None]
+    )
+    oc = c - o[:, None, :]
+    proj = np.einsum("rnd,rd->rn", oc, dn)
+    dist2 = np.einsum("rnd,rnd->rn", oc, oc) - proj**2
+    dist = np.sqrt(np.maximum(dist2, 0.0))
+    rad = np.asarray(pack.radius, np.float64)[None]
+    # behind-the-origin spheres can't explain a disagreement
+    margin = np.where(proj > 0, np.abs(dist - rad) / rad, np.inf)
+    return margin.min(axis=1)
+
+
 def test_sphere_kernel_matches_jnp():
     scene = _random_scene()
     o, d, tm, tmax = _rays()
@@ -53,14 +76,24 @@ def test_sphere_kernel_matches_jnp():
     )
     t_pal, i_pal, h_pal = pk.sphere_closest(scene.spheres, o, d, tm, tmax)
     h_ref, h_pal = np.asarray(h_ref), np.asarray(h_pal)
-    agree = h_ref == h_pal
-    assert agree.mean() > 0.99  # grazing-tangent f32 disagreements only
-    both = h_ref & h_pal & agree
+    disagree = h_ref != h_pal
+    # Every hit/miss disagreement must be a tangential grazing ray (f32
+    # discriminant sign noise), not a systematic kernel bug.
+    if disagree.any():
+        margin = _sphere_grazing_margin(scene.spheres, o, d, tm)[disagree]
+        assert margin.max() < 1e-3, (
+            f"{disagree.sum()} disagreements, worst grazing margin "
+            f"{margin.max():.2e} — not explainable as tangent noise"
+        )
+    both = h_ref & h_pal
     np.testing.assert_allclose(
         np.asarray(t_pal)[both], np.asarray(t_ref)[both], rtol=2e-4, atol=1e-4
     )
-    same_idx = (np.asarray(i_pal)[both] == np.asarray(i_ref)[both])
-    assert same_idx.mean() > 0.99
+    # Winner-index mismatches are only legitimate for photon-level ties.
+    idx_mismatch = both & (np.asarray(i_pal) != np.asarray(i_ref))
+    if idx_mismatch.any():
+        dt = np.abs(np.asarray(t_pal) - np.asarray(t_ref))[idx_mismatch]
+        assert dt.max() < 1e-3, "index mismatch without a t tie"
 
 
 def test_planar_kernel_matches_jnp():
@@ -69,12 +102,68 @@ def test_planar_kernel_matches_jnp():
     t_ref, i_ref, h_ref = packs.intersect_planar(scene.planar, o, d, 1e-3, tmax)
     t_pal, i_pal, h_pal = pk.planar_closest(scene.planar, o, d, tmax)
     h_ref, h_pal = np.asarray(h_ref), np.asarray(h_pal)
-    assert (h_ref == h_pal).mean() > 0.995
+    disagree = h_ref != h_pal
+    if disagree.any():
+        # Classify: disagreeing rays must lie within f32 noise of a
+        # primitive boundary (interior-test edge or near-parallel plane).
+        margin = _planar_edge_margin(scene.planar, o, d)[disagree]
+        assert margin.max() < 1e-3, (
+            f"{disagree.sum()} disagreements, worst edge margin "
+            f"{margin.max():.2e}"
+        )
     both = h_ref & h_pal
     np.testing.assert_allclose(
         np.asarray(t_pal)[both], np.asarray(t_ref)[both], rtol=2e-4, atol=1e-4
     )
-    assert (np.asarray(i_pal)[both] == np.asarray(i_ref)[both]).mean() > 0.995
+    idx_mismatch = both & (np.asarray(i_pal) != np.asarray(i_ref))
+    if idx_mismatch.any():
+        dt = np.abs(np.asarray(t_pal) - np.asarray(t_ref))[idx_mismatch]
+        assert dt.max() < 1e-3, "index mismatch without a t tie"
+
+
+def _planar_edge_margin(pack, o, d):
+    """Per-ray min over planar prims of the distance (in interior-test
+    units) to the nearest accept/reject boundary."""
+    o = np.asarray(o, np.float64)
+    dv = np.asarray(d, np.float64)
+    n = np.asarray(pack.normal, np.float64)
+    q = np.asarray(pack.q, np.float64)
+    u = np.asarray(pack.u, np.float64)
+    v = np.asarray(pack.v, np.float64)
+    w = np.asarray(pack.w, np.float64)
+    dd = np.asarray(pack.d, np.float64)
+    kind = np.asarray(pack.kind)
+    rad = np.asarray(pack.radius, np.float64)
+
+    denom = np.einsum("pd,rd->rp", n, dv)
+    near_parallel = np.abs(denom) < 1e-6 * np.linalg.norm(dv, axis=-1)[:, None]
+    t = (dd[None, :] - np.einsum("pd,rd->rp", n, o)) / np.where(
+        near_parallel, 1.0, denom
+    )
+    p = o[:, None, :] + t[..., None] * dv[:, None, :]
+    rel = p - q[None, :, :]
+    alpha = np.einsum("pd,rpd->rp", w, np.cross(rel, v[None, :, :]))
+    beta = np.einsum("pd,rpd->rp", w, np.cross(u[None, :, :], rel))
+
+    # quad: boundary at alpha/beta in {0, 1}; tri: alpha/beta 0 or sum 1
+    edge_quad = np.minimum.reduce([
+        np.abs(alpha), np.abs(alpha - 1), np.abs(beta), np.abs(beta - 1)
+    ])
+    edge_tri = np.minimum.reduce([
+        np.abs(alpha), np.abs(beta), np.abs(alpha + beta - 1)
+    ])
+    rdist = np.linalg.norm(rel, axis=-1)
+    edge_circ = np.abs(rdist - rad[None, :]) / np.maximum(rad[None, :], 1e-9)
+    margin = np.where(
+        kind[None, :] == packs.KIND_QUAD, edge_quad,
+        np.where(kind[None, :] == packs.KIND_TRI, edge_tri,
+                 np.where(kind[None, :] == packs.KIND_CIRCLE, edge_circ,
+                          np.inf)),
+    )
+    # t <= 0 or near-parallel hits can also flip on f32 noise
+    margin = np.where(near_parallel, 0.0, margin)
+    margin = np.where(np.abs(t) < 2e-3, np.minimum(margin, np.abs(t)), margin)
+    return margin.min(axis=1)
 
 
 def test_kernel_respects_tmax():
