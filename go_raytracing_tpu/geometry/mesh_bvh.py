@@ -77,9 +77,8 @@ class MeshProto:
     k_tilebox: jnp.ndarray    # [n_tiles, 2, 3]
     k_coarsebox: jnp.ndarray  # [n_coarse, 2, 3]
     # Pallas leaf-stream tables (ops/pallas_mesh_stream.py; large meshes)
-    s_tri: jnp.ndarray        # [S, 9, SEG] per-segment tri rows (HBM)
-    s_box: jnp.ndarray        # [S, 6, BOX_ROW] per-segment box ladders
-    s_segbox: jnp.ndarray     # [S, 6] segment boxes (SMEM)
+    s_tri: jnp.ndarray        # [S, ROWS, SEG] per-segment tri rows (HBM)
+    s_tilebox: jnp.ndarray    # [S, 6, N_TILE] 128-tri tile AABBs (cull)
     # static
     depth: int = field(default=0, metadata=dict(static=True))
     k_n_tiles: int = field(default=0, metadata=dict(static=True))
@@ -103,7 +102,7 @@ jax.tree_util.register_dataclass(
         "inst_w2l", "inst_nmat", "inst_mat",
         "world_bbox_min", "world_bbox_max",
         "k_tri", "k_leafbox", "k_subtilebox", "k_tilebox", "k_coarsebox",
-        "s_tri", "s_box", "s_segbox",
+        "s_tri", "s_tilebox",
     ],
     meta_fields=["depth", "k_n_tiles", "k_n_coarse", "s_n_seg"],
 )
@@ -236,9 +235,12 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
          n_coarse) = pallas_mesh.build_kernel_tables(
             v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
         )
-        s_tri = np.zeros((0, 9, pallas_mesh_stream.SEG), np.float32)
-        s_box = np.zeros((0, 6, pallas_mesh_stream.BOX_ROW), np.float32)
-        s_segbox = np.zeros((0, 6), np.float32)
+        s_tri = np.zeros(
+            (0, pallas_mesh_stream.ROWS, pallas_mesh_stream.SEG), np.float32
+        )
+        s_tilebox = np.zeros(
+            (0, 6, pallas_mesh_stream.N_TILE), np.float32
+        )
         s_n_seg = 0
     else:
         ktri = np.zeros((9, 0), np.float32)
@@ -246,8 +248,7 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
             (0, 2, 3), np.float32
         )
         n_tiles = n_coarse = 0
-        (s_tri, s_box, s_segbox,
-         s_n_seg) = pallas_mesh_stream.build_stream_tables(
+        s_tri, s_tilebox, s_n_seg = pallas_mesh_stream.build_stream_tables(
             v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
         )
     return MeshProto(
@@ -262,8 +263,7 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
         k_n_tiles=n_tiles,
         k_n_coarse=n_coarse,
         s_tri=jnp.asarray(s_tri),
-        s_box=jnp.asarray(s_box),
-        s_segbox=jnp.asarray(s_segbox),
+        s_tilebox=jnp.asarray(s_tilebox),
         s_n_seg=s_n_seg,
         level_bbox_min=tuple(level_bbox_min),
         level_bbox_max=tuple(level_bbox_max),

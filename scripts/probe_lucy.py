@@ -74,7 +74,18 @@ def main():
     o = jax.block_until_ready(o)
 
     t_min = 1e-3
-    t_max = jnp.full((R,), 3.0e38, jnp.float32)
+    # Bound t_max by the walls first, exactly as closest_hit does before
+    # the mesh query — an unbounded t_max is not what the kernel sees.
+    @jax.jit
+    def wall_bound(o, d):
+        big = jnp.full((R,), 3.0e38, jnp.float32)
+        (t_s, _, h_s), (t_p, _, h_p) = wavefront._surface_intersects(
+            scene, o, d, jnp.zeros((R,), jnp.float32), t_min, big
+        )
+        sw = h_s & (~h_p | (t_s < t_p))
+        return jnp.where(sw, t_s, jnp.where(h_p, t_p, big))
+
+    t_max = jax.block_until_ready(wall_bound(o, d))
 
     # 1. argsort of the coherence key
     @jax.jit
@@ -101,7 +112,8 @@ def main():
     perm = jax.random.permutation(jax.random.PRNGKey(0), R)
     osh = V3(o.x[perm], o.y[perm], o.z[perm])
     dsh = V3(d.x[perm], d.y[perm], d.z[perm])
-    dt, s = timeit(sweep, osh, dsh, t_max)
+    tsh = t_max[perm]
+    dt, s = timeit(sweep, osh, dsh, tsh)
     print(f"mesh sweep shuffled:    {dt*1e3:8.2f} ms "
           f"({R/dt/1e6:7.1f} Mrays/s) checksum={s:.3e}")
 

@@ -386,3 +386,78 @@ def test_megakernel_phase_split_matches():
         mega.SPLIT_R_MIN, mega.SPLIT_DEPTH_MIN = saved
     img_ref = np.asarray(grt.render_image(scene, cam, spp=2, seed=3))
     np.testing.assert_allclose(img_split, img_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_mesh_stream_kernel_matches_frontier():
+    """Leaf-stream (tilemask) mesh kernel vs the XLA frontier traversal.
+
+    Shrinks the small-kernel cap so a ~3.7K-tri mesh builds stream
+    tables (2 segments -> exercises the double-buffered DMA walk), then
+    checks closest-hit and any-hit equivalence on mixed coherent/random
+    rays with dead lanes."""
+    from go_raytracing_tpu.geometry import mesh_bvh
+    from go_raytracing_tpu.geometry.scene import Affine
+    from go_raytracing_tpu.io import obj as obj_mod
+    from go_raytracing_tpu.ops import pallas_mesh, pallas_mesh_stream
+    from go_raytracing_tpu.core.vec3 import V3
+
+    old_cap = pallas_mesh.MAX_KERNEL_TRIS
+    pallas_mesh.MAX_KERNEL_TRIS = 512
+    pallas_mesh_stream.INTERPRET = True
+    try:
+        verts, tris = obj_mod.lucy_standin(48, 40)   # 3,744 tris
+        instances = []
+        for i in range(3):
+            xf = Affine.trs(scale=(0.8, 0.8, 0.8),
+                            rotation_deg=(0, 30 * i, 0),
+                            position=(i * 1.5 - 1.5, 0.0, -3.0))
+            instances.append((xf.m, 0))
+        proto = mesh_bvh.build_proto(verts, tris, instances)
+        assert proto.s_n_seg == 2
+        assert not pallas_mesh.kernel_ok(proto)
+        assert pallas_mesh_stream.stream_ok(proto)
+
+        rng = np.random.default_rng(3)
+        n = pallas_mesh_stream.BLOCK  # one grid step
+        o = np.stack([rng.uniform(-3, 3, n), rng.uniform(-1, 3, n),
+                      np.full(n, 2.0)], axis=-1)
+        targets = np.stack([
+            rng.uniform(-2.5, 2.5, n), rng.uniform(-0.5, 1.5, n),
+            np.full(n, -3.0),
+        ], axis=-1)
+        d = targets - o
+        wild = rng.random(n) < 0.2
+        d[wild] = rng.normal(size=(int(wild.sum()), 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o32 = jnp.asarray(o, jnp.float32)
+        d32 = jnp.asarray(d, jnp.float32)
+        tmax = jnp.full(n, 3.0e38, jnp.float32)
+        tmax = tmax.at[::13].set(-1.0)   # dead lanes
+
+        t_f, tri_f, inst_f, hit_f, _ = mesh_bvh.intersect_mesh(
+            proto, o32, d32, 1e-3, tmax
+        )
+        t_k, tri_k, inst_k, hit_k, _ = (
+            pallas_mesh_stream.intersect_mesh_stream(
+                proto, V3.from_rows(o32), V3.from_rows(d32), 1e-3, tmax
+            )
+        )
+        hit_f, hit_k = np.asarray(hit_f), np.asarray(hit_k)
+        assert hit_f.sum() > 100
+        assert (hit_f == hit_k).all()
+        both = hit_f & hit_k
+        np.testing.assert_allclose(
+            np.asarray(t_k)[both], np.asarray(t_f)[both],
+            rtol=2e-4, atol=2e-4,
+        )
+        assert (np.asarray(inst_k)[both] == np.asarray(inst_f)[both]).all()
+        assert (np.asarray(tri_k)[both] == np.asarray(tri_f)[both]).all()
+
+        _, _, _, ah_k, _ = pallas_mesh_stream.intersect_mesh_stream(
+            proto, V3.from_rows(o32), V3.from_rows(d32), 1e-3, tmax,
+            any_hit=True,
+        )
+        assert (np.asarray(ah_k) == hit_f).all()
+    finally:
+        pallas_mesh.MAX_KERNEL_TRIS = old_cap
+        pallas_mesh_stream.INTERPRET = False
