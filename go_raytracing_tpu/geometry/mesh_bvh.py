@@ -77,8 +77,8 @@ class MeshProto:
     k_tilebox: jnp.ndarray    # [n_tiles, 2, 3]
     k_coarsebox: jnp.ndarray  # [n_coarse, 2, 3]
     # Pallas leaf-stream tables (ops/pallas_mesh_stream.py; large meshes)
-    s_tri: jnp.ndarray        # [S, ROWS, SEG] per-segment tri rows (HBM)
-    s_tilebox: jnp.ndarray    # [S, 6, N_TILE] 128-tri tile AABBs (cull)
+    s_tri: jnp.ndarray        # [NT, ROWS, TILE] tile-major tri rows
+    s_tilebox: jnp.ndarray    # [S, 6, SEG_TILES] 128-tri tile AABBs
     # static
     depth: int = field(default=0, metadata=dict(static=True))
     k_n_tiles: int = field(default=0, metadata=dict(static=True))
@@ -236,10 +236,11 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
             v0.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
         )
         s_tri = np.zeros(
-            (0, pallas_mesh_stream.ROWS, pallas_mesh_stream.SEG), np.float32
+            (0, pallas_mesh_stream.ROWS, pallas_mesh_stream.TILE),
+            np.float32,
         )
         s_tilebox = np.zeros(
-            (0, 6, pallas_mesh_stream.N_TILE), np.float32
+            (0, 6, pallas_mesh_stream.SEG_TILES), np.float32
         )
         s_n_seg = 0
     else:

@@ -1,41 +1,54 @@
-"""Large-mesh Pallas intersector: leaf-stream segments DMA'd from HBM.
+"""Large-mesh Pallas intersector: tris-on-lanes tile sweeps with per-8-ray
+group culling.  The TPU-native answer to the reference's 280K-triangle
+mesh BVH (rt/obj_loader.go:105-112, rt/bvh.go:219-239).
 
-The segment-sweep kernel (ops/pallas_mesh.py) holds every triangle in
-SMEM, which caps it at ~16K triangles; the reference's defining scale is
-a **280K-triangle** mesh BVH instanced 10x (rt/obj_loader.go:105-112,
-devlog 2025-11-21).  This module is the TPU-native large-mesh path.
+Design history (all numbers measured on v5e, scripts/probe_lucy.py):
 
-Design, driven by two measured facts (scripts/probe_lucy.py):
-  1. in-kernel cond ladders (``jnp.any`` over a (32,128) mask, then a
-     branch) are LATENCY-bound: each vector-reduce + scalar branch costs
-     about as much as sweeping an entire 8-triangle leaf, so the
-     small-mesh kernel spends most of its time deciding what to skip;
-  2. per-ray table gathers are off the table entirely (~8 ns each).
+  v1  segment-sweep (ops/pallas_mesh.py): every triangle as SMEM scalars,
+      scalar-broadcast Moller-Trumbore against (32,128) ray blocks.
+      Issue-bound: ~50 scalar-issued instructions per *triangle* -> caps
+      out at ~16K triangles.
+  v2  leaf-stream DMA + block-level frustum cull: 1.4 Mrays/s at 112K
+      tris.  Two findings: (a) HBM->SMEM DMA is fine (120 GB/s), (b) the
+      per-triangle scalar loop costs ~6300 serially-issued instructions
+      per 128-tri tile no matter how many rays each vector op covers,
+      and (c) 1024 rays sharing one tile list sweep ~20x more tiles
+      than any single ray needs (block-union waste).
+  v3  flips the layout: a *tile* is 128 triangles on the 128 VREG
+      lanes ([9, 128] vector rows, VMEM-resident - no DMA), and rays
+      come in groups of 8 on the sublanes.  One tile sweep = ~55
+      VECTOR ops for all 8x128 ray-tri pairs.
+  v4  deletes v3's unrefined-overflow path (128x sweep blowup on the
+      12% of blocks past the slot cap, and it read garbage slots —
+      faulted the TPU worker) and adds per-group summary words.
+  v5  (this file) makes the phase-B instance loop static and replaces
+      the 7 dynamic pltpu.rolls per sweep (~55% of sweep cost,
+      scripts/stream_micro.py) with an incremental static roll carried
+      through the group loop.  Culling is hierarchical and
+      near-per-ray:
 
-So ALL culling happens before the kernel, as dense vector math XLA is
-great at, and the kernel itself contains no per-ray box tests at all:
+        XLA     per-group (8-ray) frustums per instance (local-space
+                root-box slab test excludes rays that can't reach the
+                instance), folded to per-block frustums for the
+                segment/tile bitmask cull (as v2).
+        kernel  phase A: each surviving tile's AABB is tested against
+                all 128 group frustums in ONE vector pass ([1,128],
+                groups on lanes) -> per-(instance, tile) group bitmask.
+        kernel  phase B: per group with any bits (one summary-word SMEM
+                read filters empty groups): the group's 8 local rays are
+                lane-extracted per slot (pltpu.roll by group index +
+                broadcast; the slot stream mixes instances), and each
+                set tile is swept with tris-on-lanes Moller-Trumbore.
+                Per-lane bests are lane-reduced once per group and
+                merged into the block accumulator by an iota-select.
 
-  host build   triangles in median-split *leaf order* (the implicit-BVH
-               order, geometry/mesh_bvh.py) are packed into SEG=2048-tri
-               segments [S, 9, SEG] resident in HBM, with per-tile
-               (128-tri) AABBs [S, 6, N_TILE] for the cull.
-  XLA cull     per 4096-ray block x instance: a conservative *frustum*
-               (interval-arithmetic slab test over the block's local-ray
-               bounds) against every 128-triangle tile box.  Produces,
-               per block: the ordered list of candidate segments, a
-               16-bit tile mask per (segment, instance), and an instance
-               mask.  This replaces the BVH's upper levels; work below
-               is O(surviving tiles), not O(mesh).
-  kernel       one grid step per ray block: stages local-space rays once
-               per present instance, walks the block's segment list with
-               double-buffered HBM->SMEM DMA (fetch segment j+1 while
-               sweeping j), and for each set tile bit runs a 128-tri
-               Moller-Trumbore scalar-broadcast sweep.  The only
-               branches are scalar bit tests on precomputed masks.
+  The slot bitmasks cover MAXT_INST tile slots per (block, instance) —
+  sized past the worst measured whole-block count (571 at 112K tris x
+  10 instances).  Blocks needing more drop the excess, and the
+  host-side popcount surfaces the dropped-pair count (never silent).
 
-Like the small-mesh kernel: rays-on-lanes (32,128) blocks, triangle
-constants broadcast from SMEM scalars, ``any_hit`` collapses t to 0 so
-occluded rays shrink every later t-window.  No per-ray gathers anywhere.
+Like every hot kernel here: no per-ray gathers, no [R,3] arrays, no
+vector-reduce conds (scalar bit tests only).
 """
 
 from __future__ import annotations
@@ -49,24 +62,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = np.float32(3.0e38)
-# 8-row (1024-ray) blocks: quarter the footprint of a 32-row block means
-# ~2.5x fewer surviving tiles per block AND each 128-tri sweep touches a
-# quarter of the vector rows — measured (cull_stats, 112K tris) 145 ->
-# 56 est-ms per 1M coherent camera rays.  DMA refetch across blocks is
-# noise (~1 ms/1M rays at HBM bandwidth).
-BLOCK_ROWS = 8
 LANES = 128
-BLOCK = BLOCK_ROWS * LANES   # rays per grid step
+GROUP = 8                    # rays per cull group (one VREG sublane set)
+N_GROUPS = 128               # groups per block (one VREG lane set)
+BLOCK = GROUP * N_GROUPS     # 1024 rays per grid step
 
-SEG = 2048                   # triangles per streamed segment
-TILE = 128                   # triangles per cullable tile (one mask bit)
-N_TILE = SEG // TILE         # 16 -> tile mask fits an i32 comfortably
-ROWS = 16                    # tri rows (9 used: v0/e1/e2 xyz) padded to a
-                             # multiple of 8 — Mosaic tiles HBM memrefs
-                             # (8,128) and a 9-row segment slice would be
-                             # unaligned along dim 1
+TILE = 128                   # triangles per tile (tris on lanes)
+SEG_TILES = 16               # tiles per cull segment (bitmask word)
+SEG = TILE * SEG_TILES       # 2048 triangles per segment
+ROWS = 16                    # tri rows (9 used: v0/e1/e2 xyz), 8-aligned
 
 MAX_INSTANCES = 31           # instance bitmask fits one i32
+MAXT_INST = 320              # tile slots per (block, instance); beyond:
+                             # dropped + counted host-side (worst
+                             # measured whole-block count is 571)
+W_WORDS = MAXT_INST // 32    # per-(instance, group) bitmask words (10)
+
+# Whole tile table must sit in VMEM (no DMA in v3).  48 MB budget.
+MAX_STREAM_TRIS = 48 * 2**20 // (ROWS * 4)
 
 # Flip for CPU correctness testing (pallas interpreter).
 INTERPRET = False
@@ -77,22 +90,25 @@ INTERPRET = False
 # -----------------------------------------------------------------------------
 
 def build_stream_tables(v0, e1, e2):
-    """NumPy: ([S, ROWS, SEG] tri rows, [S, 6, N_TILE] tile boxes, n_seg).
+    """NumPy: ([NT, ROWS, TILE] tile-major tri rows, [S, 6, SEG_TILES]
+    tile AABBs, n_seg).
 
-    Boxes are (min_xyz rows 0..2, max_xyz rows 3..5); padding boxes are
-    +BIG/-BIG so every slab test fails.  Padding triangles are zero
-    (degenerate) and never pass Moller-Trumbore.
+    Triangles are in implicit-BVH leaf order (geometry/mesh_bvh.py), so
+    each 128-tri tile is a spatially compact subtree.  Padding triangles
+    are zero (degenerate, never pass Moller-Trumbore); padding tile
+    boxes are +BIG/-BIG so every slab test fails.
     """
     t = v0.shape[0]
     s = -(-t // SEG)
     tpad = s * SEG
+    nt = tpad // TILE
 
     rows9 = np.zeros((ROWS, tpad), np.float32)
     rows9[:9, :t] = np.concatenate([v0.T, e1.T, e2.T], axis=0)
-    # [ROWS, S, SEG] -> [S, ROWS, SEG]; ascontiguousarray materializes
+    # [ROWS, NT, TILE] -> [NT, ROWS, TILE]; ascontiguousarray materializes
     # (assignment into a reshape of a transposed view is silently lost)
     tri = np.ascontiguousarray(
-        rows9.reshape(ROWS, s, SEG).transpose(1, 0, 2)
+        rows9.reshape(ROWS, nt, TILE).transpose(1, 0, 2)
     )
 
     v1 = v0 + e1
@@ -103,44 +119,39 @@ def build_stream_tables(v0, e1, e2):
     hi_p = np.full((tpad, 3), -np.inf, np.float32)
     lo_p[:t] = lo_t
     hi_p[:t] = hi_t
-    mn = lo_p.reshape(s * N_TILE, TILE, 3).min(axis=1)
-    mx = hi_p.reshape(s * N_TILE, TILE, 3).max(axis=1)
+    mn = lo_p.reshape(nt, TILE, 3).min(axis=1)
+    mx = hi_p.reshape(nt, TILE, 3).max(axis=1)
     thin = (mx - mn) < 1e-4
     mn = np.where(thin, mn - 1e-4, mn)
     mx = np.where(thin, mx + 1e-4, mx)
     mn = np.where(np.isfinite(mn), mn, BIG)
     mx = np.where(np.isfinite(mx), mx, -BIG)
     tilebox = np.concatenate(
-        [mn.reshape(s, N_TILE, 3), mx.reshape(s, N_TILE, 3)], axis=2
-    ).transpose(0, 2, 1)  # [S, 6, N_TILE]
+        [mn.reshape(s, SEG_TILES, 3), mx.reshape(s, SEG_TILES, 3)], axis=2
+    ).transpose(0, 2, 1)  # [S, 6, SEG_TILES]
     return tri, np.ascontiguousarray(tilebox), s
 
 
 # -----------------------------------------------------------------------------
-# XLA cull: block frustums vs tile boxes -> per-block segment lists
+# XLA cull: group + block frustums -> per-block segment lists & local rays
 # -----------------------------------------------------------------------------
 
 def _block_frustums(w2l, root_lo, root_hi, o, d, t_max, t_min, n_blocks):
-    """Per (block, instance): local-ray interval bounds over only the
-    rays that can actually reach that instance.
+    """Per-(block, instance) frustums over only the rays that can reach
+    that instance (local-space root-box slab test per ray — one escaping
+    ray must not inflate a block's frustum to the scene).
 
-    Each ray is slab-tested against the prototype's local-space root box
-    per instance; rays that miss (or whose [t_min, t_max] window doesn't
-    overlap the box) are excluded from the block's frustum reduction.
-    This is what keeps one wild ray (e.g. an escaping edge ray with
-    t_max = BIG) from inflating a whole block's frustum to the scene.
-
-    Returns (o_lo, o_hi [B, I, 3], gmin, gmax, bounded [B, I, 3],
-    near, far [B, I], present [B, I]).  ``bounded`` is False on axes
-    whose local direction changes sign inside the block (the frustum
-    constrains nothing there — conservative)."""
+    The finer per-GROUP frustums are rebuilt *inside* the kernel from
+    the raw ray block (materializing them here costs ~0.5 GB of HBM
+    traffic per 2M rays — measured 3x slowdown).
+    """
     i_n = w2l.shape[0]
     live = t_max > 0.0
     big = jnp.float32(BIG)
     oc = [o.x, o.y, o.z]
     dc = [d.x, d.y, d.z]
 
-    outs = []  # per instance: (o_lo[3], o_hi[3], d_lo[3], d_hi[3], near, far, present)
+    outs = []
     for ii in range(i_n):
         ol3, dl3 = [], []
         t_en = jnp.full_like(t_max, t_min)
@@ -169,29 +180,27 @@ def _block_frustums(w2l, root_lo, root_hi, o, d, t_max, t_min, n_blocks):
         d_hi = jnp.stack([red(x, -big, jnp.max) for x in dl3], -1)
         near = red(t_en, big, jnp.min)
         far = red(t_ex, -big, jnp.max)
-        outs.append((o_lo, o_hi, d_lo, d_hi, near, far, far >= near))
+        outs.append((o_lo, o_hi, d_lo, d_hi, near, far))
 
     o_lo, o_hi, d_lo, d_hi = (
-        jnp.stack([t[k] for t in outs], axis=1) for k in range(4)
-    )                                   # [B, I, 3]
-    near = jnp.stack([t[4] for t in outs], axis=1)   # [B, I]
-    far = jnp.stack([t[5] for t in outs], axis=1)
-    present = jnp.stack([t[6] for t in outs], axis=1)
+        jnp.stack([p[k] for p in outs], axis=1) for k in range(4)
+    )                                       # [B, I, 3]
+    near = jnp.stack([p[4] for p in outs], axis=1)  # [B, I]
+    far = jnp.stack([p[5] for p in outs], axis=1)
+    present = far >= near
     bounded = (d_lo > 1e-12) | (d_hi < -1e-12)
-    safe_lo = jnp.where(bounded, d_lo, 1.0)
-    safe_hi = jnp.where(bounded, d_hi, 1.0)
-    g_a = 1.0 / safe_lo
-    g_b = 1.0 / safe_hi
-    gmin = jnp.minimum(g_a, g_b)
-    gmax = jnp.maximum(g_a, g_b)
-    return o_lo, o_hi, gmin, gmax, bounded, near, far, present
+    sa = 1.0 / jnp.where(bounded, d_lo, 1.0)
+    sb = 1.0 / jnp.where(bounded, d_hi, 1.0)
+    gmin = jnp.minimum(sa, sb)
+    gmax = jnp.maximum(sa, sb)
+    return (o_lo, o_hi, gmin, gmax, bounded, near, far, present)
 
 
-def _frustum_vs_tiles(fr, tilebox):
-    """[n_blocks, I, S, N_TILE] conservative hit mask
-    (tilebox [S, 6, N_TILE])."""
-    o_lo, o_hi, gmin, gmax, bounded, near0, far0, present = fr
-    shape = o_lo.shape[:2] + (tilebox.shape[0], N_TILE)
+def _frustum_vs_tiles(blk, tilebox):
+    """[n_blocks, I, S, SEG_TILES] conservative block-level hit mask
+    (tilebox [S, 6, SEG_TILES])."""
+    o_lo, o_hi, gmin, gmax, bounded, near0, far0, present = blk
+    shape = o_lo.shape[:2] + (tilebox.shape[0], SEG_TILES)
     near = jnp.broadcast_to(near0[:, :, None, None], shape)
     farv = jnp.broadcast_to(far0[:, :, None, None], shape)
     for i in range(3):
@@ -211,21 +220,20 @@ def _frustum_vs_tiles(fr, tilebox):
 
 
 def build_block_lists(w2l, root_lo, root_hi, tilebox, o, d, t_max, t_min):
-    """Per ray block: candidate segments, per-(seg, inst) tile masks,
-    instance mask.
+    """XLA-side cull.  Returns (segs [B, S], tilemask [B, S*I], nseg [B],
+    instmask [B]).
 
-    Returns (segs [B, S] i32, tilemask [B, S*I] i32, nseg [B] i32,
-    instmask [B] i32).  ``segs`` tail entries repeat the last survivor
-    so a speculative prefetch re-reads a resident segment.  ``tilemask``
-    is indexed [b, seg * I + inst] (seg = the REAL segment id)."""
+    ``segs`` tail entries repeat the last survivor; ``tilemask`` is
+    indexed [b, seg * I + inst] with seg the REAL segment id."""
     r = o.x.shape[0]
     n_blocks = r // BLOCK
     i_n = w2l.shape[0]
     s = tilebox.shape[0]
-    fr = _block_frustums(w2l, root_lo, root_hi, o, d, t_max, t_min,
-                         n_blocks)
-    hit = _frustum_vs_tiles(fr, tilebox)               # [B, I, S, T]
-    tbits = jnp.arange(N_TILE, dtype=jnp.int32)[None, None, None, :]
+    blk = _block_frustums(
+        w2l, root_lo, root_hi, o, d, t_max, t_min, n_blocks
+    )
+    hit = _frustum_vs_tiles(blk, tilebox)              # [B, I, S, T]
+    tbits = jnp.arange(SEG_TILES, dtype=jnp.int32)[None, None, None, :]
     tilemask = jnp.sum(
         hit.astype(jnp.int32) << tbits, axis=3
     ).astype(jnp.int32)                                # [B, I, S]
@@ -249,123 +257,294 @@ def build_block_lists(w2l, root_lo, root_hi, tilebox, o, d, t_max, t_min):
 # Kernel
 # -----------------------------------------------------------------------------
 
-def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref, w2l_ref,
-            tri_hbm, ox, oy, oz, dx, dy, dz, tmax,
-            t_out, tri_out, inst_out,
-            local_scr, tri_scr, sems,
-            *, t_min, n_inst, any_hit):
-    o_c = [ox[...], oy[...], oz[...]]
-    d_c = [dx[...], dy[...], dz[...]]
-    imask = instmask_ref[0, 0, 0]
+def _sweep_tile(tri_ref, tid, o_l, d_l, t_cap, best_t, best_id, ii,
+                *, t_min, any_hit):
+    """Moller-Trumbore: one 128-tri tile (tris on lanes) against rays
+    broadcast per sublane.  o_l/d_l: 3 x [GROUP or 8, 128] (lane-const
+    per sublane); best_t/best_id: running [_, 128] per-lane bests."""
+    tile = tri_ref[tid]                      # [ROWS, TILE] dynamic dim-0
+    v0 = [tile[c:c + 1, :] for c in range(3)]
+    e1 = [tile[3 + c:4 + c, :] for c in range(3)]
+    e2 = [tile[6 + c:7 + c, :] for c in range(3)]
+    hx = d_l[1] * e2[2] - d_l[2] * e2[1]
+    hy = d_l[2] * e2[0] - d_l[0] * e2[2]
+    hz = d_l[0] * e2[1] - d_l[1] * e2[0]
+    a = e1[0] * hx + e1[1] * hy + e1[2] * hz
+    parallel = jnp.abs(a) < 1e-8
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx = o_l[0] - v0[0]
+    sy = o_l[1] - v0[1]
+    sz = o_l[2] - v0[2]
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1[2] - sz * e1[1]
+    qy = sz * e1[0] - sx * e1[2]
+    qz = sx * e1[1] - sy * e1[0]
+    v = f * (d_l[0] * qx + d_l[1] * qy + d_l[2] * qz)
+    tc = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
+    ok = (~parallel & (u >= 0.0) & (u <= 1.0)
+          & (v >= 0.0) & (u + v <= 1.0)
+          & (tc >= t_min) & (tc < t_cap) & (tc < best_t))
+    lane = jax.lax.broadcasted_iota(jnp.int32, best_t.shape, 1)
+    pid = ((tid * TILE + lane) << 5) | ii
+    if any_hit:
+        new_t = jnp.where(ok, 0.0, best_t)
+    else:
+        new_t = jnp.where(ok, tc, best_t)
+    new_id = jnp.where(ok, pid, best_id)
+    return new_t, new_id
 
-    # Local rays, staged once per *present* instance:
-    # local_scr[ii, 0:3]=origin, [3:6]=dir (inv_dir is not needed: the
-    # kernel has no slab tests).
+
+def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
+            w2l_ref, rootb_ref, tileb_ref, tri_ref, rays_ref,
+            t_out, id_out,
+            lr_scr, fr_scr, gw, gw_s, tl_s, sems,
+            *, t_min, n_inst, any_hit):
+    imask = instmask_ref[0, 0, 0]
+    nsegs = nseg_ref[0, 0, 0]
+    big = jnp.float32(BIG)
+
+    # ---- zero the per-instance slot-bit rows + per-group summaries
+    for iw in range(n_inst * (W_WORDS + 1)):
+        gw[iw, :, :] = jnp.zeros((1, LANES), jnp.int32)
+
+    # ---- phase 0: per-instance local rays + per-group frustum rows.
+    # Rays arrive [8, GROUP, N_GROUPS]: member on sublanes, group on
+    # lanes — so an axis-0 reduce IS the per-group frustum fold.
+    ox = rays_ref[0, 0]          # [GROUP, LANES]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    t_cap = rays_ref[0, 6]
+    live = t_cap > 0.0
     for ii in range(n_inst):
         @pl.when((jax.lax.shift_right_logical(imask, ii) & 1) == 1)
-        def _():
+        def _(ii=ii):
+            ol3, dl3 = [], []
+            t_en = jnp.full((GROUP, LANES), t_min, jnp.float32)
+            t_ex = jnp.minimum(t_cap, big)
             for i in range(3):
-                m0 = w2l_ref[ii, i, 0]
-                m1 = w2l_ref[ii, i, 1]
-                m2 = w2l_ref[ii, i, 2]
-                m3 = w2l_ref[ii, i, 3]
-                local_scr[ii, i] = (
-                    m0 * o_c[0] + m1 * o_c[1] + m2 * o_c[2] + m3
-                )
-                local_scr[ii, 3 + i] = m0 * d_c[0] + m1 * d_c[1] + m2 * d_c[2]
+                m0 = w2l_ref[ii, i * 4 + 0]
+                m1 = w2l_ref[ii, i * 4 + 1]
+                m2 = w2l_ref[ii, i * 4 + 2]
+                m3 = w2l_ref[ii, i * 4 + 3]
+                ol = m0 * ox + m1 * oy + m2 * oz + m3
+                dl = m0 * dx + m1 * dy + m2 * dz
+                lr_scr[ii, i] = ol
+                lr_scr[ii, 3 + i] = dl
+                inv = 1.0 / jnp.where(jnp.abs(dl) < 1e-12,
+                                      jnp.where(dl < 0, -1e-12, 1e-12),
+                                      dl)
+                ta = (rootb_ref[i] - ol) * inv
+                tb = (rootb_ref[3 + i] - ol) * inv
+                t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+                t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+                ol3.append(ol)
+                dl3.append(dl)
+            contrib = live & (t_ex >= t_en)
 
-    t_best = tmax[...] * 1.0
-    tri_best = jnp.full(t_best.shape, -1, jnp.int32)
-    inst_best = jnp.full(t_best.shape, -1, jnp.int32)
+            def red(x, fill, op):
+                return op(jnp.where(contrib, x, fill), axis=0,
+                          keepdims=True)           # [1, LANES]
 
-    n = nseg_ref[0, 0, 0]
+            for i in range(3):
+                o_lo = red(ol3[i], big, jnp.min)
+                o_hi = red(ol3[i], -big, jnp.max)
+                d_lo = red(dl3[i], big, jnp.min)
+                d_hi = red(dl3[i], -big, jnp.max)
+                bd = (d_lo > 1e-12) | (d_hi < -1e-12)
+                sa = 1.0 / jnp.where(bd, d_lo, 1.0)
+                sb = 1.0 / jnp.where(bd, d_hi, 1.0)
+                fr_scr[ii, i] = o_lo
+                fr_scr[ii, 3 + i] = o_hi
+                fr_scr[ii, 6 + i] = jnp.minimum(sa, sb)
+                fr_scr[ii, 9 + i] = jnp.maximum(sa, sb)
+                fr_scr[ii, 12 + i] = bd.astype(jnp.float32)
+            fr_scr[ii, 15] = red(t_en, big, jnp.min)
+            fr_scr[ii, 16] = red(t_ex, -big, jnp.max)
 
-    def tri_dma(j, slot):
-        return pltpu.make_async_copy(
-            tri_hbm.at[segs_ref[0, 0, j]], tri_scr.at[slot], sems.at[slot]
-        )
-
-    @pl.when(n > 0)
-    def _():
-        tri_dma(0, 0).start()
-
-    def seg_body(j, carry):
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < n)
-        def _():
-            tri_dma(j + 1, jax.lax.rem(j + 1, 2)).start()
-
-        tri_dma(j, slot).wait()
+    # ---- phase A: per-instance dense tile slot lists + per-group bit
+    # matrices.  For instance ii: rows ii*(W_WORDS+1)+w of gw hold slot
+    # word w across the 128 groups; row ii*(W_WORDS+1)+W_WORDS is the
+    # per-group summary (bit w set iff word w has any bit) — phase B
+    # skips empty words/groups on one scalar read.  Keeping slot spaces
+    # per-instance makes the phase-B instance loop static, so ray
+    # extraction needs no per-slot dynamic rolls.
+    def seg_body(j, nts):
         seg = segs_ref[0, 0, j]
 
-        def inst_body(ii, carry):
-            tm = tilemask_ref[0, 0, seg * n_inst + ii]
+        def inst_step(nt, ii):
+            tm0 = tilemask_ref[0, 0, seg * n_inst + ii]
+            near_r = fr_scr[ii, 15]
+            far_r = fr_scr[ii, 16]
+            fr_rows = [(fr_scr[ii, i], fr_scr[ii, 3 + i],
+                        fr_scr[ii, 6 + i], fr_scr[ii, 9 + i],
+                        fr_scr[ii, 12 + i] > 0.5) for i in range(3)]
+            row0 = ii * (W_WORDS + 1)
 
-            def do_inst(carry):
-                ol = [local_scr[ii, i] for i in range(3)]
-                dl = [local_scr[ii, 3 + i] for i in range(3)]
+            def bit_body(c):
+                tm, nt = c
+                nz = tm & (-tm)
+                k = 31 - jax.lax.clz(nz)
+                tid = seg * SEG_TILES + k
 
-                def tile_body(k, carry):
-                    def do_tile(carry):
-                        def tri_body(jj, carry):
-                            t_best, tri_best, inst_best = carry
-                            tloc = k * TILE + jj
-                            v0 = [tri_scr[slot, c, tloc] for c in range(3)]
-                            e1 = [tri_scr[slot, 3 + c, tloc]
-                                  for c in range(3)]
-                            e2 = [tri_scr[slot, 6 + c, tloc]
-                                  for c in range(3)]
-                            # Moller-Trumbore: scalar tri x (32,128) rays
-                            hx = dl[1] * e2[2] - dl[2] * e2[1]
-                            hy = dl[2] * e2[0] - dl[0] * e2[2]
-                            hz = dl[0] * e2[1] - dl[1] * e2[0]
-                            a = e1[0] * hx + e1[1] * hy + e1[2] * hz
-                            parallel = jnp.abs(a) < 1e-8
-                            f = 1.0 / jnp.where(parallel, 1.0, a)
-                            sx = ol[0] - v0[0]
-                            sy = ol[1] - v0[1]
-                            sz = ol[2] - v0[2]
-                            u = f * (sx * hx + sy * hy + sz * hz)
-                            qx = sy * e1[2] - sz * e1[1]
-                            qy = sz * e1[0] - sx * e1[2]
-                            qz = sx * e1[1] - sy * e1[0]
-                            v = f * (dl[0] * qx + dl[1] * qy + dl[2] * qz)
-                            tc = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
-                            ok = (~parallel & (u >= 0.0) & (u <= 1.0)
-                                  & (v >= 0.0) & (u + v <= 1.0)
-                                  & (tc >= t_min) & (tc < t_best))
-                            if any_hit:
-                                t_best = jnp.where(ok, 0.0, t_best)
-                            else:
-                                t_best = jnp.where(ok, tc, t_best)
-                            tri_best = jnp.where(
-                                ok, seg * SEG + tloc, tri_best)
-                            inst_best = jnp.where(ok, ii, inst_best)
-                            return (t_best, tri_best, inst_best)
+                # group-frustum slab test, vector over the 128 groups
+                near = near_r
+                farv = far_r
+                for i in range(3):
+                    b_lo = tileb_ref[i, tid]
+                    b_hi = tileb_ref[3 + i, tid]
+                    olo, ohi, g0, g1, bd = fr_rows[i]
+                    r_lo = b_lo - ohi
+                    r_hi = b_hi - olo
+                    p1, p2 = r_lo * g0, r_lo * g1
+                    p3, p4 = r_hi * g0, r_hi * g1
+                    t_lo = jnp.minimum(jnp.minimum(p1, p2),
+                                       jnp.minimum(p3, p4))
+                    t_hi = jnp.maximum(jnp.maximum(p1, p2),
+                                       jnp.maximum(p3, p4))
+                    near = jnp.maximum(near, jnp.where(bd, t_lo, -BIG))
+                    farv = jnp.minimum(farv, jnp.where(bd, t_hi, BIG))
+                hit = (farv >= near).astype(jnp.int32)
 
-                        return jax.lax.fori_loop(0, TILE, tri_body, carry)
+                @pl.when(nt < MAXT_INST)
+                def _():
+                    w = nt // 32
+                    bit = nt - w * 32
+                    gw[row0 + w, :, :] = gw[row0 + w, :, :] | (hit << bit)
+                    gw[row0 + W_WORDS, :, :] = (
+                        gw[row0 + W_WORDS, :, :] | (hit << w)
+                    )
+                    slot = ii * MAXT_INST + nt
+                    tl_s[jax.lax.shift_right_logical(slot, 7),
+                         slot & 127] = tid
+                return (tm & (tm - 1), nt + 1)
 
-                    bit = jax.lax.shift_right_logical(tm, k) & 1
-                    return jax.lax.cond(bit == 1, do_tile,
-                                        lambda c: c, carry)
+            tm, nt = jax.lax.while_loop(
+                lambda c: c[0] != 0, bit_body, (tm0, nt)
+            )
+            return nt
 
-                return jax.lax.fori_loop(0, N_TILE, tile_body, carry)
+        outs = []
+        for ii in range(n_inst):
+            outs.append(jax.lax.cond(
+                (jax.lax.shift_right_logical(imask, ii) & 1) == 1,
+                lambda nt, ii=ii: inst_step(nt, ii),
+                lambda nt: nt,
+                nts[ii],
+            ))
+        return tuple(outs)
 
-            return jax.lax.cond(tm != 0, do_inst, lambda c: c, carry)
-
-        return jax.lax.fori_loop(0, n_inst, inst_body, carry)
-
-    t_best, tri_best, inst_best = jax.lax.fori_loop(
-        0, n, seg_body, (t_best, tri_best, inst_best)
+    jax.lax.fori_loop(
+        0, nsegs, seg_body, (jnp.int32(0),) * n_inst
     )
-    t_out[...] = t_best
-    tri_out[...] = tri_best
-    inst_out[...] = inst_best
+
+    # ---- phase B: instance-outer, group-inner refined sweeps.  The
+    # instance loop is static, so the group's 8 local rays come from an
+    # INCREMENTAL static roll (shift -1 per group step, carried in
+    # registers) instead of 7 dynamic rolls per slot — the dynamic rolls
+    # were ~55% of the per-sweep cost (scripts/stream_micro.py).
+    acc_t = jnp.full((GROUP, LANES), BIG, jnp.float32)
+    acc_id = jnp.full((GROUP, LANES), -1, jnp.int32)
+
+    for ii in range(n_inst):
+        row0 = ii * (W_WORDS + 1)
+
+        def inst_sweeps(carry, ii=ii, row0=row0):
+            acc_t, acc_id = carry
+            # this instance's bit rows -> the shared SMEM buffer
+            cp = pltpu.make_async_copy(
+                gw.at[row0:row0 + W_WORDS + 1], gw_s, sems.at[0]
+            )
+            cp.start()
+            cp.wait()
+            rows0 = tuple(lr_scr[ii, c] for c in range(6)) + (t_cap,)
+
+            def group_body(g, carry):
+                acc_t, acc_id, rows = carry
+                summary = gw_s[W_WORDS, 0, g]
+
+                def do(c):
+                    acc_t, acc_id = c
+                    bc = [jnp.broadcast_to(r[:, 0:1], (GROUP, LANES))
+                          for r in rows]
+                    o_l, d_l, g_cap = bc[0:3], bc[3:6], bc[6]
+
+                    best_t = jnp.full((GROUP, LANES), BIG, jnp.float32)
+                    best_id = jnp.full((GROUP, LANES), -1, jnp.int32)
+
+                    def word_body(c):
+                        summ, best_t, best_id = c
+                        nzw = summ & (-summ)
+                        w_idx = 31 - jax.lax.clz(nzw)
+
+                        def bit_body(c):
+                            word, best_t, best_id = c
+                            nz = word & (-word)
+                            b = 31 - jax.lax.clz(nz)
+                            slot = ii * MAXT_INST + w_idx * 32 + b
+                            tid = tl_s[
+                                jax.lax.shift_right_logical(slot, 7),
+                                slot & 127]
+                            best_t, best_id = _sweep_tile(
+                                tri_ref, tid, o_l, d_l, g_cap,
+                                best_t, best_id, ii,
+                                t_min=t_min, any_hit=any_hit,
+                            )
+                            return (word & (word - 1), best_t, best_id)
+
+                        w0 = gw_s[w_idx, 0, g]
+                        _, best_t, best_id = jax.lax.while_loop(
+                            lambda c: c[0] != 0, bit_body,
+                            (w0, best_t, best_id),
+                        )
+                        return (summ & (summ - 1), best_t, best_id)
+
+                    _, best_t, best_id = jax.lax.while_loop(
+                        lambda c: c[0] != 0, word_body,
+                        (summary, best_t, best_id),
+                    )
+
+                    # lane-reduce the group's bests, merge into block acc
+                    t_min_l = jnp.min(best_t, axis=1, keepdims=True)
+                    id_min = jnp.where(
+                        best_t <= t_min_l, best_id, jnp.int32(0x7FFFFFFF)
+                    )
+                    id_l = jnp.min(id_min, axis=1, keepdims=True)
+                    li = jax.lax.broadcasted_iota(
+                        jnp.int32, (GROUP, LANES), 1)
+                    tb = jnp.broadcast_to(t_min_l, (GROUP, LANES))
+                    ib = jnp.broadcast_to(id_l, (GROUP, LANES))
+                    upd = (li == g) & (tb < acc_t)
+                    return (jnp.where(upd, tb, acc_t),
+                            jnp.where(upd, ib, acc_id))
+
+                acc_t, acc_id = jax.lax.cond(
+                    summary != 0, do, lambda c: c, (acc_t, acc_id)
+                )
+                rows = tuple(pltpu.roll(r, shift=LANES - 1, axis=1)
+                             for r in rows)
+                return acc_t, acc_id, rows
+
+            acc_t, acc_id, _ = jax.lax.fori_loop(
+                0, N_GROUPS, group_body, (acc_t, acc_id, rows0)
+            )
+            return acc_t, acc_id
+
+        acc_t, acc_id = jax.lax.cond(
+            (jax.lax.shift_right_logical(imask, ii) & 1) == 1,
+            inst_sweeps,
+            lambda c: c,
+            (acc_t, acc_id),
+        )
+
+    t_out[0] = acc_t
+    id_out[0] = acc_id
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "n_inst", "any_hit"))
-def _call(w2l, root_lo, root_hi, tilebox, tri_tab, o, d, t_max, *,
+def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
           t_min, n_inst, any_hit=False):
     from ..core.vec3 import V3
 
@@ -377,7 +556,6 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tab, o, d, t_max, *,
         dc = [d[:, 0], d[:, 1], d[:, 2]]
     r = oc[0].shape[0]
     padded = -(-r // BLOCK) * BLOCK
-    rows = padded // LANES
 
     def prep(a, fill=0.0):
         if padded != r:
@@ -392,24 +570,53 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tab, o, d, t_max, *,
         w2l, root_lo, root_hi, tilebox, V3(*oc), V3(*dc), t_cap, t_min
     )
 
-    rays = [a.reshape(rows, LANES) for a in oc + dc + [t_cap]]
-
-    grid = (rows // BLOCK_ROWS,)
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_blocks = padded // BLOCK
     s = tilebox.shape[0]
+    # per-tile boxes for the in-kernel refine, [6, NT]: SMEM arrays get
+    # an (8, 128)-tiled layout, so the big axis must be LAST (a [NT, 6]
+    # layout lane-pads 6 -> 128: 450 KB of the 1 MB SMEM for nothing).
+    tileb_flat = tilebox.transpose(1, 0, 2).reshape(6, s * SEG_TILES)
+
+    # Exact host-side overflow count: per-(block, instance) slots beyond
+    # MAXT_INST are dropped by the kernel (hits can be missed) —
+    # surface it, never silent.
+    tiles_bi = jnp.sum(
+        jax.lax.population_count(
+            tilemask.reshape(tilemask.shape[0], -1, n_inst)
+        ),
+        axis=1,
+    )                                                   # [B, I]
+    overflow = jnp.sum(
+        jnp.maximum(tiles_bi - MAXT_INST, 0)
+    ).astype(jnp.int32)
+
+    # Rays enter the kernel [7, GROUP, N_GROUPS]: member on sublanes,
+    # group on lanes (r = b*BLOCK + g*GROUP + m), so axis-0 reduces give
+    # per-group frustums directly.
+    rays = jnp.stack(
+        [a.reshape(n_blocks, N_GROUPS, GROUP).transpose(0, 2, 1)
+         for a in oc + dc + [t_cap]],
+        axis=1,
+    )                                                   # [B, 7, GROUP, 128]
+    rootb = jnp.concatenate([root_lo, root_hi]).astype(jnp.float32)
+    w2l_flat = w2l.reshape(n_inst, 12)     # [I, 12]: SMEM lane-packing
+
+    grid = (n_blocks,)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk_smem(w):
         # [B, 1, w] with (1, 1, w) blocks: Mosaic requires the last two
-        # block dims be (8, 128)-divisible OR equal the array dims — a
-        # leading grid-blocked dim plus an exact (1, w) tail satisfies it.
+        # block dims be (8, 128)-divisible OR equal the array dims.
         return pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
-    t, tri, inst = pl.pallas_call(
+    ray_spec = pl.BlockSpec((1, 7, GROUP, LANES), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, GROUP, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    t, pid = pl.pallas_call(
         functools.partial(_kernel, t_min=np.float32(t_min), n_inst=n_inst,
                           any_hit=any_hit),
         grid=grid,
@@ -418,46 +625,52 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tab, o, d, t_max, *,
             blk_smem(s),            # segs
             blk_smem(s * n_inst),   # tilemask
             blk_smem(1),            # instmask
-            smem,                   # w2l
-            # Explicit HBM (not ANY): ANY lets Mosaic place the table in
-            # VMEM with a tiled layout, where a [1, 9, SEG] slice is
-            # illegal (dim-1 slice must be 8-aligned); HBM is untiled.
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ] + [ray_spec] * 7,
-        out_specs=[out_spec, out_spec, out_spec],
+            smem,                   # w2l [n_inst, 12]
+            smem,                   # rootb [6]
+            smem,                   # tileb_flat [6, NT]
+            vmem_full,              # tri_tiles [NT, ROWS, TILE]
+            ray_spec,               # rays
+        ],
+        out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, GROUP, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, GROUP, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_inst, 6, BLOCK_ROWS, LANES), jnp.float32),
-            pltpu.SMEM((2, ROWS, SEG), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_inst, 6, GROUP, LANES), jnp.float32),   # lr_scr
+            pltpu.VMEM((n_inst, 17, 1, LANES), jnp.float32),      # fr_scr
+            pltpu.VMEM((n_inst * (W_WORDS + 1), 1, LANES), jnp.int32),
+            pltpu.SMEM((W_WORDS + 1, 1, LANES), jnp.int32),       # gw_s
+            pltpu.SMEM((-(-(n_inst * MAXT_INST) // 128), 128),
+                       jnp.int32),                                # tl_s
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=INTERPRET,
     )(
         nseg.reshape(-1, 1, 1), segs.reshape(-1, 1, s),
         tilemask.reshape(-1, 1, s * n_inst), instmask.reshape(-1, 1, 1),
-        w2l, tri_tab, *rays,
+        w2l_flat, rootb, tileb_flat, tri_tiles, rays,
     )
-    t = t.reshape(-1)[:r]
-    tri = tri.reshape(-1)[:r]
-    inst = inst.reshape(-1)[:r]
-    hit = tri >= 0
-    return jnp.where(hit, t, BIG), jnp.maximum(tri, 0), jnp.maximum(inst, 0), hit
+    # [B, GROUP(m), 128(g)] -> ray-major: r = b*BLOCK + g*GROUP + m
+    t = t.transpose(0, 2, 1).reshape(-1)[:r]
+    pid = pid.transpose(0, 2, 1).reshape(-1)[:r]
+    hit = pid >= 0
+    tri = jax.lax.shift_right_logical(jnp.maximum(pid, 0), 5)
+    inst = jnp.maximum(pid, 0) & 31
+    return jnp.where(hit, t, BIG), tri, inst, hit, overflow
 
 
 def intersect_mesh_stream(proto, o, d, t_min, t_max, any_hit=False):
     """Drop-in mesh closest hit for large prototypes (requires proto
-    built with stream tables).  Returns (t, tri, inst, hit, overflow=0);
-    with any_hit=True only `hit` is meaningful."""
-    t, tri, inst, hit = _call(
+    built with stream tables).  Returns (t, tri, inst, hit, overflow);
+    with any_hit=True only `hit` is meaningful.  ``overflow`` counts
+    (block, tile) pairs dropped past the kernel's slot caps."""
+    t, tri, inst, hit, overflow = _call(
         proto.inst_w2l, proto.root_bbox_min, proto.root_bbox_max,
         proto.s_tilebox, proto.s_tri, o, d, t_max,
         t_min=float(t_min), n_inst=proto.n_instances, any_hit=any_hit,
     )
-    return t, tri, inst, hit, jnp.int32(0)
+    return t, tri, inst, hit, overflow
 
 
 def stream_ok(proto) -> bool:
@@ -468,5 +681,7 @@ def stream_ok(proto) -> bool:
     if getattr(proto, "s_n_seg", 0) == 0:
         return False
     if proto.n_instances > MAX_INSTANCES:
+        return False
+    if proto.tri_v0.shape[0] > MAX_STREAM_TRIS:
         return False
     return jax.default_backend() == "tpu" or INTERPRET

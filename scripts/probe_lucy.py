@@ -122,6 +122,21 @@ def main():
     dt, s = timeit(sweep, o, d, t_half)
     print(f"mesh sweep half-dead:   {dt*1e3:8.2f} ms checksum={s:.3e}")
 
+    # 4b. mesh any-hit (NEE shadow variant; exercised before full trace
+    # so a fault here is attributable)
+    from go_raytracing_tpu.ops import pallas_mesh_stream
+
+    if pallas_mesh_stream.stream_ok(proto):
+        @jax.jit
+        def shadow(o, d, t_max):
+            _, _, _, hit, _ = pallas_mesh_stream.intersect_mesh_stream(
+                proto, o, d, t_min, t_max, any_hit=True
+            )
+            return hit
+
+        dt, s = timeit(shadow, o, d, t_max)
+        print(f"mesh any-hit (shadow):  {dt*1e3:8.2f} ms checksum={s:.3e}")
+
     # 5. sphere+planar closest hit (the non-mesh part of closest_hit)
     @jax.jit
     def surf(o, d, t_max):
