@@ -19,13 +19,21 @@ import json
 import sys
 import time
 
-# BASELINE.md benchmark configs (resolution, spp, depth overrides)
+# BASELINE.md benchmark configs (resolution, spp, depth overrides).
+# cornell-lucy runs at the reference's defining scale: lucy_low.obj is
+# 280K triangles x 10 instances (rt/obj_loader.go:105-112); the stand-in
+# detail (256, 220) = 112K tris and (376, 374) = 280K tris.
 ALL_CONFIGS = {
     "simple": dict(width=400, aspect=16 / 9, spp=10, depth=10),
     "cornell": dict(width=600, aspect=600 / 338, spp=100, depth=5),
     "random": dict(width=600, aspect=16 / 9, spp=25, depth=10),
     "hdri-test": dict(width=800, aspect=16 / 9, spp=25, depth=10),
-    "cornell-lucy": dict(width=600, aspect=1.0, spp=25, depth=5),
+    "cornell-lucy": dict(width=600, aspect=1.0, spp=25, depth=5,
+                         scene="cornell-lucy",
+                         scene_kwargs=dict(mesh_detail=(256, 220))),
+    "cornell-lucy-280k": dict(width=600, aspect=1.0, spp=25, depth=5,
+                              scene="cornell-lucy",
+                              scene_kwargs=dict(mesh_detail=(376, 374))),
     "cornell-smoke": dict(width=600, aspect=1.0, spp=25, depth=5),
 }
 
@@ -34,7 +42,8 @@ def bench_scene(name, cfg):
     import go_raytracing_tpu as grt
     from go_raytracing_tpu.render.renderer import pick_chunk_size
 
-    scene, cam = grt.load_scene(name)
+    scene, cam = grt.load_scene(cfg.get("scene", name),
+                                **cfg.get("scene_kwargs", {}))
     cam = dataclasses.replace(
         cam, image_width=cfg["width"], aspect_ratio=cfg["aspect"],
         samples_per_pixel=cfg["spp"], max_depth=cfg["depth"],

@@ -119,8 +119,11 @@ def build_proto(verts: np.ndarray, tris: np.ndarray, instances) -> MeshProto:
     v2 = verts[tris[:, 2]]
     n_tris = len(tris)
 
+    # Max leaf size after 3*depth median splits is ceil(n / 2^(3*depth))
+    # (repeated halving: ceil(ceil(n/2)/2) == ceil(n/4)); a floor here
+    # under-sized depth for e.g. n=280496 (>>15 == 8, true max 9).
     depth = 0
-    while (n_tris >> (3 * depth)) > LEAF_SIZE:
+    while -(-n_tris // (1 << (3 * depth))) > LEAF_SIZE:
         depth += 1
 
     lo = np.minimum(np.minimum(v0, v1), v2)

@@ -167,7 +167,11 @@ def intersect_spheres(pack: SpherePack, o, d, tm, t_min, t_max):
     ac = a[:, None]
     disc = h * h - ac * c_term
     has_root = disc >= 0.0
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where: sqrt'(0) = inf would turn miss lanes (disc < 0, zero
+    # cotangent) into NaN gradients that poison the whole backward pass.
+    sqrtd = jnp.where(
+        has_root, jnp.sqrt(jnp.where(has_root, disc, 1.0)), 0.0
+    )
     inv_a = 1.0 / ac
     root0 = (h - sqrtd) * inv_a
     root1 = (h + sqrtd) * inv_a
@@ -193,7 +197,8 @@ def intersect_spheres(pack: SpherePack, o, d, tm, t_min, t_max):
         h2 = vec.dot(d, oc)
         c2 = vec.dot(oc, oc) - rad * rad
         disc2 = h2 * h2 - a * c2
-        sq2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+        pos2 = disc2 >= 0.0
+        sq2 = jnp.where(pos2, jnp.sqrt(jnp.where(pos2, disc2, 1.0)), 0.0)
         r0 = (h2 - sq2) / a
         r1 = (h2 + sq2) / a
         ok0 = (r0 > t_min) & (r0 < t_max)

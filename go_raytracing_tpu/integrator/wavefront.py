@@ -29,6 +29,8 @@ Algorithm parity with the reference per bounce:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -51,6 +53,19 @@ HIT_SPHERE = 1
 HIT_PLANAR = 2
 HIT_VOLUME = 3
 HIT_MESH_BASE = 4  # + mesh prototype index
+
+
+class Decisions(NamedTuple):
+    """Per-bounce discrete sweep outcomes recorded by the fast forward
+    (trace(record=True)) and consumed by the replay backward
+    (trace(decisions=...)).  Everything else — RNG, scatter choices,
+    light picks — is counter-replayable and NOT stored.  All [D, R]."""
+
+    which: jnp.ndarray   # i32 HIT_* winner kind
+    idx: jnp.ndarray     # i32 winner primitive index
+    aux: jnp.ndarray     # i32 mesh instance id
+    blk_a: jnp.ndarray   # bool area-light shadow ray blocked
+    blk_h: jnp.ndarray   # bool HDRI shadow ray blocked
 
 # Extra RNG purpose bases (see core/rng.py for the primary enumeration).
 PURPOSE_VOL_MAIN = 64      # + 32 * volume_index
@@ -414,6 +429,117 @@ def _attr_record_and_albedo(scene: Scene, o: V3, d: V3, t, which, attrs):
     return p, normal, front, matkind, albedo
 
 
+def _winner_t(scene: Scene, o: V3, d: V3, tm, t_min, which, idx, aux,
+              seed, stream, bounce):
+    """Differentiable hit distance for a KNOWN winner primitive (replay
+    path).  The sweep's discrete outcome (which, idx, aux) was recorded by
+    the fast forward; only the winner's analytic t is recomputed, so
+    reverse-mode differentiates ONE primitive per (ray, bounce) instead of
+    the whole scene.  Gradients flow through (o, d) — geometry tables are
+    not trainable (parallel/sharding.trainable_params).
+
+    Formulas mirror the oracle sweeps exactly: sphere = packs.
+    intersect_spheres' stable ``refine`` form; planar = intersect_planar's
+    plane solve; volume = _sample_volumes' free-flight; mesh =
+    Moller-Trumbore in instance-local space (t is affine-invariant)."""
+    r = o.x.shape[0]
+    f32 = o.x.dtype
+    t = jnp.full((r,), BIG, f32)
+    safe_idx = jnp.maximum(idx, 0)
+
+    sp = scene.spheres
+    if sp.radius.shape[0] > 0:
+        i = jnp.minimum(safe_idx, sp.radius.shape[0] - 1)
+        c0 = V3(sp.center[:, 0][i], sp.center[:, 1][i], sp.center[:, 2][i])
+        vel = V3(sp.velocity[:, 0][i], sp.velocity[:, 1][i],
+                 sp.velocity[:, 2][i])
+        center = c0 + vel * tm
+        oc = center - o
+        a = jnp.maximum(d.dot(d), 1e-30)
+        h = d.dot(oc)
+        rad = sp.radius[i]
+        c = oc.dot(oc) - rad * rad
+        disc = h * h - a * c
+        pos = lax.stop_gradient(disc) > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        r0 = (h - sq) / a
+        r1 = (h + sq) / a
+        ts = jnp.where(lax.stop_gradient(r0) > t_min, r0, r1)
+        t = jnp.where(which == HIT_SPHERE, ts, t)
+
+    pp = scene.planar
+    if pp.d.shape[0] > 0:
+        i = jnp.minimum(safe_idx, pp.d.shape[0] - 1)
+        nrm = V3(pp.normal[:, 0][i], pp.normal[:, 1][i], pp.normal[:, 2][i])
+        denom = nrm.dot(d)
+        safe = jnp.where(
+            jnp.abs(lax.stop_gradient(denom)) < vec.EPS_PARALLEL, 1.0, denom
+        )
+        tp = (pp.d[i] - nrm.dot(o)) / safe
+        t = jnp.where(which == HIT_PLANAR, tp, t)
+
+    for mi, proto in enumerate(scene.meshes):
+        sel = which == HIT_MESH_BASE + mi
+        nt = proto.tri_v0.shape[0]
+        i = jnp.minimum(safe_idx, nt - 1)
+        ai = jnp.minimum(jnp.maximum(aux, 0), proto.inst_w2l.shape[0] - 1)
+        w2l = proto.inst_w2l  # [I, 3, 4]
+
+        def lrow(k, translate):
+            m0 = w2l[:, k, 0][ai]
+            m1 = w2l[:, k, 1][ai]
+            m2 = w2l[:, k, 2][ai]
+            ol = m0 * o.x + m1 * o.y + m2 * o.z
+            dl = m0 * d.x + m1 * d.y + m2 * d.z
+            if translate:
+                ol = ol + w2l[:, k, 3][ai]
+            return ol, dl
+
+        (ox, dx), (oy, dy), (oz, dz) = lrow(0, True), lrow(1, True), lrow(2, True)
+        ol, dl = V3(ox, oy, oz), V3(dx, dy, dz)
+        v0 = V3(proto.tri_v0[:, 0][i], proto.tri_v0[:, 1][i], proto.tri_v0[:, 2][i])
+        e1 = V3(proto.tri_e1[:, 0][i], proto.tri_e1[:, 1][i], proto.tri_e1[:, 2][i])
+        e2 = V3(proto.tri_e2[:, 0][i], proto.tri_e2[:, 1][i], proto.tri_e2[:, 2][i])
+        hv = dl.cross(e2)
+        av = e1.dot(hv)
+        fv = 1.0 / jnp.where(
+            jnp.abs(lax.stop_gradient(av)) < 1e-12, 1.0, av
+        )
+        sv = ol - v0
+        qv = sv.cross(e1)
+        tt = fv * e2.dot(qv)
+        t = jnp.where(sel, tt, t)
+
+    if scene.n_volumes > 0:
+        vp = scene.volumes
+        u_vol = _volume_uniforms(seed, stream, bounce, PURPOSE_VOL_MAIN,
+                                 scene.n_volumes)
+        ray_len = d.length()
+        t_v = jnp.zeros((r,), f32)
+        for vi in range(scene.n_volumes):
+            m = vp.world_to_local[vi]
+            ol = [m[k, 0] * o.x + m[k, 1] * o.y + m[k, 2] * o.z + m[k, 3]
+                  for k in range(3)]
+            dl = [m[k, 0] * d.x + m[k, 1] * d.y + m[k, 2] * d.z
+                  for k in range(3)]
+            t0 = jnp.full((r,), -np.inf, f32)
+            for k in range(3):
+                dk = dl[k]
+                safe = jnp.where(jnp.abs(dk) < 1e-12,
+                                 jnp.where(dk < 0, -1e-12, 1e-12), dk)
+                inv = 1.0 / safe
+                ta = (vp.box_min[vi, k] - ol[k]) * inv
+                tb = (vp.box_max[vi, k] - ol[k]) * inv
+                t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+            t0c = jnp.maximum(t0, t_min)
+            lu = jnp.log(jnp.maximum(u_vol[:, vi], 1e-38))
+            tv = t0c + vp.neg_inv_density[vi] * lu / ray_len
+            t_v = jnp.where(safe_idx == vi, tv, t_v)
+        t = jnp.where(which == HIT_VOLUME, t_v, t)
+
+    return t
+
+
 def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce):
     """Closest surface hit, then stochastic volume preemption.
 
@@ -608,10 +734,13 @@ def occluded(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, bounce,
 
 def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
                       attenuation: V3, mat_id, seed, stream, bounce,
-                      mat_attrs=None, active=None):
+                      mat_attrs=None, active=None, blocked=None):
     """NEE toward one uniformly chosen registered quad light
     (rt/camera.go:609-678).  Returns (V3 contribution (no throughput),
-    mesh-frontier overflow scalar)."""
+    mesh-frontier overflow scalar, blocked [R] bool).
+
+    ``blocked``: optional recorded shadow-sweep outcome (replay path) —
+    when given, the occlusion sweep is skipped entirely."""
     n_lights = scene.n_lights
     u_pick = rngmod.uniform(seed, stream, bounce, rngmod.LIGHT_PICK)
     li = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
@@ -636,11 +765,14 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     facing = cos_theta > 0.0
     shadow_active = facing if active is None else (facing & active)
 
-    blocked, overflow = occluded(
-        scene, p, light_dir, jnp.zeros_like(dist), SHADOW_EPS,
-        dist - SHADOW_EPS, seed, stream, bounce, PURPOSE_VOL_SHADOW_AREA,
-        active=shadow_active,
-    )
+    if blocked is None:
+        blocked, overflow = occluded(
+            scene, p, light_dir, jnp.zeros_like(dist), SHADOW_EPS,
+            dist - SHADOW_EPS, seed, stream, bounce, PURPOSE_VOL_SHADOW_AREA,
+            active=shadow_active,
+        )
+    else:
+        overflow = jnp.int32(0)
 
     # Emission at (u=0, v=0, light_point) (rt/camera.go:645)
     emission = mats.emitted(
@@ -667,14 +799,15 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     scale = cos_theta / jnp.maximum(pdf_light, 1e-12) * weight * float(n_lights)
     contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
     ok = facing & ~blocked & ~grazing
-    return V3.select(ok, contrib, V3.zeros(ok.shape)), overflow
+    return V3.select(ok, contrib, V3.zeros(ok.shape)), overflow, blocked
 
 
 def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
                       attenuation: V3, mat_id, seed, stream, bounce,
-                      mat_attrs=None, active=None):
+                      mat_attrs=None, active=None, blocked=None):
     """NEE toward the HDRI via importance sampling (rt/camera.go:565-607).
-    Returns (V3 contribution, mesh-frontier overflow scalar)."""
+    Returns (V3 contribution, mesh-frontier overflow scalar, blocked);
+    ``blocked`` input as in :func:`sample_area_light`."""
     xi1 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_ROW)
     xi2 = rngmod.uniform(seed, stream, bounce, rngmod.HDRI_COL)
     light_dir, emission, pdf_h = hdri_mod.sample_direction_soa(scene.env, xi1, xi2)
@@ -684,11 +817,14 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     shadow_active = facing if active is None else (facing & active)
 
     r = p.x.shape[0]
-    blocked, overflow = occluded(
-        scene, p, light_dir, jnp.zeros((r,), p.x.dtype), SHADOW_EPS,
-        jnp.full((r,), BIG), seed, stream, bounce, PURPOSE_VOL_SHADOW_HDRI,
-        active=shadow_active,
-    )
+    if blocked is None:
+        blocked, overflow = occluded(
+            scene, p, light_dir, jnp.zeros((r,), p.x.dtype), SHADOW_EPS,
+            jnp.full((r,), BIG), seed, stream, bounce, PURPOSE_VOL_SHADOW_HDRI,
+            active=shadow_active,
+        )
+    else:
+        overflow = jnp.int32(0)
 
     wi = (-ray_d).unit()
     if mat_attrs is not None:
@@ -701,7 +837,7 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     scale = cos_theta / jnp.maximum(pdf_h, 1e-12) * weight
     contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
     ok = facing & ~blocked
-    return V3.select(ok, contrib, V3.zeros(ok.shape)), overflow
+    return V3.select(ok, contrib, V3.zeros(ok.shape)), overflow, blocked
 
 
 def _miss_radiance(scene: Scene, cam: Camera, d: V3, primary) -> V3:
@@ -766,7 +902,8 @@ def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:
 
 
 def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
-          differentiable: bool = True, mega_mode=None, with_stats: bool = False):
+          differentiable: bool = True, mega_mode=None, with_stats: bool = False,
+          record: bool = False, decisions: Decisions = None):
     """Radiance for a ray megabatch.
 
     o/d: V3 (or [R,3] arrays, converted); tm/stream [R].  Returns V3, or
@@ -776,6 +913,16 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
     ``differentiable=False`` (renders/benches) allows the gather-free
     winner-attribute fast path on TPU; gradient-bearing traces keep the
     differentiable gather path for material/texture parameters.
+
+    Replay gradients (the fast fwd+bwd path, see render/grad.py):
+      ``record=True`` — run the fast non-differentiable forward and ALSO
+      return a :class:`Decisions` of the per-bounce sweep outcomes
+      (appended to the normal return tuple).
+      ``decisions=...`` — differentiable REPLAY: intersection sweeps and
+      shadow sweeps are skipped; winners come from the recording and only
+      the winner's analytic t is recomputed (see _winner_t).  Gradients
+      equal the plain differentiable path's wherever the discrete winners
+      are stable (tested in tests/test_replay.py).
     """
     if not isinstance(o, V3):
         o = V3.from_rows(o)
@@ -783,10 +930,13 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         d = V3.from_rows(d)
     r = o.x.shape[0]
     f32 = o.x.dtype
+    assert not (record and decisions is not None)
+    if decisions is not None:
+        differentiable = True
 
     use_nee = scene.n_lights > 0  # len(c.Lights) > 0 (rt/camera.go:487-489)
     hdri_nee = use_nee and scene.env is not None and scene.env_importance
-    fast = attr_path_ok(scene, differentiable)
+    fast = attr_path_ok(scene, differentiable) and decisions is None
 
     # The megakernel runs the whole bounce loop in one pallas kernel with
     # per-block early termination; it produces identical images (same RNG
@@ -797,6 +947,8 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
     # decides here, at trace time.
     from ..ops import pallas_wavefront as mega
 
+    if record or decisions is not None:
+        mega_mode = "off"  # record needs per-bounce ys; replay skips sweeps
     if mega_mode is None:
         mega_mode = choose_mega_mode(scene, cam, r, differentiable)
     if mega_mode != "off":
@@ -813,14 +965,22 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         # megakernel scenes have no meshes (mega.applicable) -> no frontier
         return (out, dict(mesh_overflow=jnp.int32(0))) if with_stats else out
 
-    def bounce_step(carry, bounce):
+    def bounce_step(carry, xs):
+        bounce, dec = xs
         (o, d, throughput, radiance, alive, allow_light,
          miss_dir, miss_tp, miss_primary, missed, ovf_total) = carry
+        dec_blk_a = dec_blk_h = None
 
         # Dead lanes get t_max = -1: the predicated mesh sweeps (and any
         # fully-terminated ray block) then skip all box/triangle work.
         t_cap = jnp.where(alive, BIG, -1.0).astype(f32)
-        if fast:
+        aux = jnp.zeros((r,), jnp.int32)
+        if dec is not None:
+            which, idx, aux, dec_blk_a, dec_blk_h = dec
+            which = jnp.where(alive, which, HIT_NONE)
+            t = _winner_t(scene, o, d, tm, vec.EPS_HIT, which, idx, aux,
+                          seed, stream, bounce)
+        elif fast:
             t, which, idx, attrs = _attr_closest_hit(
                 scene, o, d, tm, vec.EPS_HIT, t_cap,
                 seed, stream, bounce,
@@ -831,7 +991,7 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
                 seed, stream, bounce,
             )
             ovf_total = ovf_total + ovf
-        hit = which != HIT_NONE
+        hit = (which != HIT_NONE) & alive
 
         # --- miss: DEFERRED environment evaluation ------------------------
         # A lane escapes at most once, so instead of evaluating the miss
@@ -874,17 +1034,20 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
 
         # --- NEE + MIS ----------------------------------------------------
         use_mis = alive & False
+        blk_a = blk_h = jnp.zeros(alive.shape, bool)
         if use_nee:
             use_mis = sc.can_use_nee & alive & hit
-            direct, ovf = sample_area_light(
+            direct, ovf, blk_a = sample_area_light(
                 scene, cam, p, normal, d, sc.attenuation, mat_id,
                 seed, stream, bounce, mat_attrs=mat_attrs, active=use_mis,
+                blocked=None if decisions is None else dec_blk_a,
             )
             ovf_total = ovf_total + ovf
             if hdri_nee:
-                hdri_direct, ovf = sample_hdri_light(
+                hdri_direct, ovf, blk_h = sample_hdri_light(
                     scene, cam, p, normal, d, sc.attenuation, mat_id,
                     seed, stream, bounce, mat_attrs=mat_attrs, active=use_mis,
+                    blocked=None if decisions is None else dec_blk_h,
                 )
                 direct = direct + hdri_direct
                 ovf_total = ovf_total + ovf
@@ -899,8 +1062,12 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         d = V3.select(alive, sc.direction, d)
         allow_light = ~use_mis  # rt/camera.go:493 vs :514
 
+        ys = None
+        if record:
+            ys = (which.astype(jnp.int32), idx.astype(jnp.int32),
+                  aux.astype(jnp.int32), blk_a, blk_h)
         return (o, d, throughput, radiance, alive, allow_light,
-                miss_dir, miss_tp, miss_primary, missed, ovf_total), None
+                miss_dir, miss_tp, miss_primary, missed, ovf_total), ys
 
     # Inside shard_map the scan carry must have consistent varying-manual-
     # axes: promote every component to the union of the ray inputs' vma.
@@ -923,10 +1090,16 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         ),
         axes,
     )
-    if differentiable:
-        # reverse-mode needs lax.scan (while_loop has no VJP)
+    ys = None
+    if differentiable or record:
+        # reverse-mode / recording need lax.scan (while_loop has no VJP
+        # and no per-iteration outputs)
         bounces = jnp.arange(cam.max_depth, dtype=jnp.uint32)
-        carry, _ = lax.scan(bounce_step, init, bounces)
+        xs_dec = None
+        if decisions is not None:
+            xs_dec = (decisions.which, decisions.idx, decisions.aux,
+                      decisions.blk_a, decisions.blk_h)
+        carry, ys = lax.scan(bounce_step, init, (bounces, xs_dec))
     else:
         # Early termination: deep-depth configs (reference uses up to 50)
         # kill most lanes within a few bounces; stop when none survive.
@@ -936,7 +1109,7 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
 
         def body(state):
             bounce, carry = state
-            carry, _ = bounce_step(carry, bounce)
+            carry, _ = bounce_step(carry, (bounce, None))
             return bounce + jnp.uint32(1), carry
 
         _, carry = lax.while_loop(cond, body, (jnp.uint32(0), init))
@@ -949,6 +1122,9 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
     radiance = radiance + V3.select(
         missed, miss_tp * miss_col, V3.zeros((r,), f32)
     )
+    out = (radiance,)
     if with_stats:
-        return radiance, dict(mesh_overflow=ovf_total)
-    return radiance
+        out = out + (dict(mesh_overflow=ovf_total),)
+    if record:
+        out = out + (Decisions(*ys),)
+    return out if len(out) > 1 else radiance

@@ -645,6 +645,11 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
                        jnp.int32),                                # tl_s
             pltpu.SemaphoreType.DMA((1,)),
         ],
+        # The whole tri-tile table is VMEM-resident (MAX_STREAM_TRIS = 48
+        # MB); the default 16 MB scoped-vmem limit rejects >~250K tris.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=INTERPRET,
     )(
         nseg.reshape(-1, 1, 1), segs.reshape(-1, 1, s),

@@ -64,10 +64,24 @@ def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
     o, d, tm = generate_rays(cam2, px, py, stream, seed)
     cot = jnp.where(valid[:, None], g_fb_flat[pixel], 0.0)  # [chunk, 3]
 
+    import os
+
+    use_replay = os.environ.get("GRT_NO_REPLAY") != "1"
+    dec = None
+    if use_replay:
+        # Record pass: fast non-differentiable forward, keeping only the
+        # per-bounce discrete sweep outcomes; the replayed backward then
+        # skips every intersection/shadow sweep (wavefront._winner_t).
+        _, dec = wavefront.trace(
+            scene, cam2, o, d, tm, stream, seed,
+            differentiable=False, record=True,
+        )
+
     def inner(params):
         s = apply_params(scene, params)
         radiance = wavefront.trace(
-            s, cam2, o, d, tm, stream, seed, differentiable=True
+            s, cam2, o, d, tm, stream, seed, differentiable=True,
+            decisions=dec,
         )
         return jnp.sum(radiance.rows() * cot)
 

@@ -61,9 +61,13 @@ def pick_chunk_size(scene: Scene, *, pair_budget: int = DEFAULT_PAIR_BUDGET,
         max_rays = 1 << 22
         if scene.meshes:
             from ..ops import pallas_mesh as _pm
+            from ..ops import pallas_mesh_stream as _pms
 
-            if all(_pm.kernel_ok(p) for p in scene.meshes):
-                # segment-sweep kernel: no frontier buffers
+            if all(_pm.kernel_ok(p) or _pms.stream_ok(p)
+                   for p in scene.meshes):
+                # SMEM segment-sweep / leaf-stream kernels: no frontier
+                # buffers, so keep launches big (coherence sort + cull
+                # amortize over the whole chunk)
                 max_rays = 1 << 21
             else:
                 # XLA frontier pair buffers scale as chunk * cap_factor *

@@ -399,9 +399,12 @@ for _names, _fn in [
         REGISTRY[_n] = _fn
 
 
-def load_scene(name: str):
-    """Scene lookup with the reference's alias set (main.go:108-152)."""
+def load_scene(name: str, **kwargs):
+    """Scene lookup with the reference's alias set (main.go:108-152).
+
+    ``kwargs`` pass through to the builder (e.g. cornell-lucy's
+    ``mesh_detail=(256, 220)`` for a reference-scale 112K-tri statue)."""
     fn = REGISTRY.get(name.lower())
     if fn is None:
         raise KeyError(f"unknown scene: {name} (have {sorted(set(REGISTRY))})")
-    return fn()
+    return fn(**kwargs)
