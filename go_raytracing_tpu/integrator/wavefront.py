@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core import fetch
 from ..core import rng as rngmod
 from ..core import vec
 from ..core.vec3 import V3
@@ -152,28 +153,80 @@ _MESH_SORT_MIN = 1 << 16
 MESH_CAP_FACTOR = 8
 
 
-def _coherence_key(proto, o: V3, d: V3, t_max):
-    """Ray-sort key: 9-bit origin cell (8^3 grid over the instances' world
-    AABB) + 3-bit direction octant.  The segment-sweep kernel culls per
-    4096-ray *block*, so secondary/shadow rays — incoherent in pixel order
-    — defeat it (measured 21.6 Mrays/s coherent vs 1.6 incoherent on
-    CornellBoxLucy).  Grouping rays by cell+octant restores block
-    coherence; dead lanes (t_max <= 0) get the max key so fully-dead
-    blocks skip every box test."""
-    wmin, wmax = proto.world_bbox_min, proto.world_bbox_max
-    scale = 8.0 / jnp.maximum(wmax - wmin, 1e-6)
+_KEY_DEAD = np.int32(1 << 30)
+# Sort-key quantization: entry-point cells per axis on the instance's
+# local root box, direction levels per axis.  Direction is the dominant
+# term for group-frustum tightness (a cone of half-angle ~90°/DIRL grows
+# with segment length; entry cells only bound the apex).
+_KEY_CELLS = 8
+_KEY_DIRL = 8
 
-    def cell(c, i):
-        q = jnp.floor((c - wmin[i]) * scale[i]).astype(jnp.int32)
-        return jnp.clip(q, 0, 7)
 
-    octant = (
-        (d.x > 0).astype(jnp.int32)
-        + 2 * (d.y > 0).astype(jnp.int32)
-        + 4 * (d.z > 0).astype(jnp.int32)
-    )
-    key = ((cell(o.x, 0) * 8 + cell(o.y, 1)) * 8 + cell(o.z, 2)) * 8 + octant
-    return jnp.where(t_max > 0, key, 1 << 12)
+def _mesh_sort_key(proto, o: V3, d: V3, t_min, t_max):
+    """Reach test + ray-sort key in one pass.
+
+    Per instance, a local-space slab ladder (the same math as the
+    kernel's phase-0 cull) finds the ray segment's entry into that
+    instance's root box.  ``reach`` is true if any instance is entered;
+    the key groups rays by (nearest entered instance, entry-point cell
+    on an 8^3 grid of the LOCAL root box, 4-levels/axis local
+    direction).  The stream kernel culls tiles per 8-ray group and per
+    (group, instance): rays sharing a key enter the SAME instance in the
+    same region heading the same way, so their group frustum covers few
+    tiles and every other instance is culled outright.  World-space
+    origin cells (the previous key) fail for sparse reaching rays —
+    compaction packs far-apart origins into one group (measured 4.6
+    Mrays/s raw on bounce-1 rays vs 11 coherent).  Dead/unreaching lanes
+    get the max key so whole blocks die."""
+    w2l = proto.inst_w2l                      # [I, 3, 4]
+    lo, hi = proto.root_bbox_min, proto.root_bbox_max
+    eps = 1e-3
+    ext = jnp.maximum(hi - lo, 1e-6)
+    best_t = jnp.full_like(t_max, BIG)
+    best_key = jnp.full(o.x.shape, _KEY_DEAD - 1, jnp.int32)
+    for ii in range(w2l.shape[0]):
+        olc, dlc = [], []
+        t_en = jnp.full_like(t_max, t_min)
+        t_ex = jnp.minimum(t_max, BIG)
+        for i in range(3):
+            m0, m1, m2, m3 = (w2l[ii, i, 0], w2l[ii, i, 1],
+                              w2l[ii, i, 2], w2l[ii, i, 3])
+            ol = m0 * o.x + m1 * o.y + m2 * o.z + m3
+            dl = m0 * d.x + m1 * d.y + m2 * d.z
+            olc.append(ol)
+            dlc.append(dl)
+            inv = 1.0 / jnp.where(jnp.abs(dl) < 1e-12,
+                                  jnp.where(dl < 0, -1e-12, 1e-12), dl)
+            ta = (lo[i] - eps - ol) * inv
+            tb = (hi[i] + eps - ol) * inv
+            t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+            t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+        hit_i = t_ex >= t_en
+        better = hit_i & (t_en < best_t)
+        # entry cell + local dir, dir-major within the instance: at
+        # range, direction similarity bounds the frustum cross-section;
+        # the entry cell only bounds the apex.
+        nc, nd_ = _KEY_CELLS, _KEY_DIRL
+        dn = jax.lax.rsqrt(dlc[0] ** 2 + dlc[1] ** 2 + dlc[2] ** 2 + 1e-30)
+        cell = jnp.zeros(o.x.shape, jnp.int32)
+        dirq = jnp.zeros(o.x.shape, jnp.int32)
+        for i in range(3):
+            p = olc[i] + dlc[i] * t_en
+            q = jnp.clip(
+                jnp.floor((p - lo[i]) * (nc / ext[i])).astype(jnp.int32),
+                0, nc - 1)
+            cell = cell * nc + q
+            dq = jnp.clip(
+                jnp.floor((dlc[i] * dn + 1.0) * (nd_ / 2.0)
+                          ).astype(jnp.int32),
+                0, nd_ - 1)
+            dirq = dirq * nd_ + dq
+        key_i = ((ii * nd_ ** 3 + dirq) * nc ** 3 + cell).astype(jnp.int32)
+        best_t = jnp.where(better, t_en, best_t)
+        best_key = jnp.where(better, key_i, best_key)
+    reach = best_t < BIG
+    key = jnp.where(reach & (t_max > 0), best_key, _KEY_DEAD)
+    return reach, key
 
 
 def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max, any_hit=False):
@@ -194,12 +247,17 @@ def _mesh_intersect(proto, o: V3, d: V3, t_min, t_max, any_hit=False):
         sg = jax.lax.stop_gradient
         proto, o, d, t_max = sg(proto), sg(o), sg(d), sg(t_max)
         r = o.x.shape[0]
+        # Reach prefilter: a ray whose segment can't enter any instance
+        # root box is dead for this sweep (miss = the kernel's default
+        # output for dead lanes).
+        reach, key = _mesh_sort_key(proto, o, d, t_min, t_max)
+        t_max = jnp.where(reach, t_max, -1.0)
         if r >= _MESH_SORT_MIN:
             # Permute via ONE row gather of a packed [R, 8] matrix per
             # direction: separate [R] gathers are latency-bound at ~12 ns
             # per element (7 of them = 240 ms at 2M rays); a row gather
             # moves all components for one lookup (measured 18 ms).
-            order = jnp.argsort(_coherence_key(proto, o, d, t_max))
+            order = jnp.argsort(key)
             inv = jnp.zeros((r,), jnp.int32).at[order].set(
                 jnp.arange(r, dtype=jnp.int32)
             )
@@ -585,11 +643,17 @@ def closest_hit(scene: Scene, o: V3, d: V3, tm, t_min, t_max, seed, stream, boun
     return t_surf, which, idx, aux, overflow
 
 
+_rows_gather = fetch.rows_fetch
+
+
 def _sphere_record(pack: packs.SpherePack, idx, o: V3, d: V3, tm, t):
     """SoA sphere hit record (UV per getSphereUV, rt/sphere.go:53-59)."""
-    c0 = V3(pack.center[:, 0][idx], pack.center[:, 1][idx], pack.center[:, 2][idx])
-    vel = V3(pack.velocity[:, 0][idx], pack.velocity[:, 1][idx], pack.velocity[:, 2][idx])
-    rad = pack.radius[idx]
+    cx, cy, cz, vx, vy, vz, rad, mat = _rows_gather(
+        [pack.center[:, 0], pack.center[:, 1], pack.center[:, 2],
+         pack.velocity[:, 0], pack.velocity[:, 1], pack.velocity[:, 2],
+         pack.radius, pack.mat], idx)
+    c0 = V3(cx, cy, cz)
+    vel = V3(vx, vy, vz)
     center = c0 + vel * tm
     p = o.at(d, t)
     outward = (p - center) * (1.0 / rad)
@@ -599,18 +663,24 @@ def _sphere_record(pack: packs.SpherePack, idx, o: V3, d: V3, tm, t):
     phi = jnp.arctan2(-outward.z, outward.x) + np.pi
     uu = phi / (2.0 * np.pi)
     vv = theta / np.pi
-    return p, normal, front, uu, vv, pack.mat[idx]
+    return p, normal, front, uu, vv, mat
 
 
 def _planar_record(pack: packs.PlanarPack, idx, o: V3, d: V3, t):
     """SoA planar hit record (quad/tri barycentrics; circle local frame)."""
-    q = V3(pack.q[:, 0][idx], pack.q[:, 1][idx], pack.q[:, 2][idx])
-    nrm = V3(pack.normal[:, 0][idx], pack.normal[:, 1][idx], pack.normal[:, 2][idx])
-    u_e = V3(pack.u[:, 0][idx], pack.u[:, 1][idx], pack.u[:, 2][idx])
-    v_e = V3(pack.v[:, 0][idx], pack.v[:, 1][idx], pack.v[:, 2][idx])
-    w = V3(pack.w[:, 0][idx], pack.w[:, 1][idx], pack.w[:, 2][idx])
-    rad = pack.radius[idx]
-    kind = pack.kind[idx]
+    (qx, qy, qz, nx, ny, nz, ux, uy, uz, vx, vy, vz, wx, wy, wz,
+     rad, kind, mat) = _rows_gather(
+        [pack.q[:, 0], pack.q[:, 1], pack.q[:, 2],
+         pack.normal[:, 0], pack.normal[:, 1], pack.normal[:, 2],
+         pack.u[:, 0], pack.u[:, 1], pack.u[:, 2],
+         pack.v[:, 0], pack.v[:, 1], pack.v[:, 2],
+         pack.w[:, 0], pack.w[:, 1], pack.w[:, 2],
+         pack.radius, pack.kind, pack.mat], idx)
+    q = V3(qx, qy, qz)
+    nrm = V3(nx, ny, nz)
+    u_e = V3(ux, uy, uz)
+    v_e = V3(vx, vy, vz)
+    w = V3(wx, wy, wz)
 
     p = o.at(d, t)
     rel = p - q
@@ -639,7 +709,54 @@ def _planar_record(pack: packs.PlanarPack, idx, o: V3, d: V3, t):
 
     front = d.dot(nrm) < 0.0
     normal = V3.select(front, nrm, -nrm)
-    return p, normal, front, uu, vv, pack.mat[idx]
+    return p, normal, front, uu, vv, mat
+
+
+def _mesh_record(proto, tri, inst, o: V3, d: V3, t):
+    """SoA mesh hit record: TWO row gathers (9 tri floats by triangle,
+    22 instance floats by instance) instead of mesh_bvh.mesh_hit_record's
+    per-component gathers + [R,3] einsums (which lane-pad 3 -> 128).
+    Same math as mesh_bvh.mesh_hit_record (the oracle; tests compare)."""
+    tri = jnp.maximum(tri, 0)
+    inst = jnp.maximum(inst, 0)
+    tv = _rows_gather(
+        [proto.tri_v0[:, 0], proto.tri_v0[:, 1], proto.tri_v0[:, 2],
+         proto.tri_e1[:, 0], proto.tri_e1[:, 1], proto.tri_e1[:, 2],
+         proto.tri_e2[:, 0], proto.tri_e2[:, 1], proto.tri_e2[:, 2]], tri)
+    v0 = V3(tv[0], tv[1], tv[2])
+    e1 = V3(tv[3], tv[4], tv[5])
+    e2 = V3(tv[6], tv[7], tv[8])
+    w2l = proto.inst_w2l.reshape(-1, 12)
+    nmat = proto.inst_nmat.reshape(-1, 9)
+    iv = _rows_gather(
+        [w2l[:, k] for k in range(12)] + [nmat[:, k] for k in range(9)]
+        + [proto.inst_mat], inst)
+    o_l = V3(iv[0] * o.x + iv[1] * o.y + iv[2] * o.z + iv[3],
+             iv[4] * o.x + iv[5] * o.y + iv[6] * o.z + iv[7],
+             iv[8] * o.x + iv[9] * o.y + iv[10] * o.z + iv[11])
+    d_l = V3(iv[0] * d.x + iv[1] * d.y + iv[2] * d.z,
+             iv[4] * d.x + iv[5] * d.y + iv[6] * d.z,
+             iv[8] * d.x + iv[9] * d.y + iv[10] * d.z)
+
+    # Barycentric UV via Moller-Trumbore partials (rt/triangle.go:75-88)
+    h = d_l.cross(e2)
+    a = e1.dot(h)
+    f = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1.0, a)
+    s = o_l - v0
+    uu = f * s.dot(h)
+    q = s.cross(e1)
+    vv = f * d_l.dot(q)
+
+    n_local = e1.cross(e2)
+    n_world = V3(
+        iv[12] * n_local.x + iv[13] * n_local.y + iv[14] * n_local.z,
+        iv[15] * n_local.x + iv[16] * n_local.y + iv[17] * n_local.z,
+        iv[18] * n_local.x + iv[19] * n_local.y + iv[20] * n_local.z,
+    ).unit()
+    front = d.dot(n_world) < 0.0
+    normal = V3.select(front, n_world, -n_world)
+    p = o.at(d, t)
+    return p, normal, front, uu, vv, iv[21]
 
 
 def extract_record(scene: Scene, o: V3, d: V3, tm, t, which, idx, aux):
@@ -673,12 +790,10 @@ def extract_record(scene: Scene, o: V3, d: V3, tm, t, which, idx, aux):
         mat_id = jnp.where(m, pm, mat_id)
 
     for mi, proto in enumerate(scene.meshes):
-        mp, mn, mf, mu, mv, mm = mesh_bvh.mesh_hit_record(
-            proto, idx, aux, o.rows(), d.rows(), t
-        )
+        mp, mn, mf, mu, mv, mm = _mesh_record(proto, idx, aux, o, d, t)
         m = which == HIT_MESH_BASE + mi
-        p = V3.select(m, V3.from_rows(mp), p)
-        normal = V3.select(m, V3.from_rows(mn), normal)
+        p = V3.select(m, mp, p)
+        normal = V3.select(m, mn, normal)
         front = jnp.where(m, mf, front)
         uu = jnp.where(m, mu, uu)
         vv = jnp.where(m, mv, vv)
@@ -746,15 +861,17 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
     li = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
 
     a_s, b_s = rngmod.uniform2(seed, stream, bounce, rngmod.LIGHT_U)
-    lq = V3(scene.light_q[:, 0][li], scene.light_q[:, 1][li], scene.light_q[:, 2][li])
-    lu = V3(scene.light_u[:, 0][li], scene.light_u[:, 1][li], scene.light_u[:, 2][li])
-    lv = V3(scene.light_v[:, 0][li], scene.light_v[:, 1][li], scene.light_v[:, 2][li])
-    lnrm = V3(
-        scene.light_normal[:, 0][li],
-        scene.light_normal[:, 1][li],
-        scene.light_normal[:, 2][li],
-    )
-    larea = scene.light_area[li]
+    (lqx, lqy, lqz, lux, luy, luz, lvx, lvy, lvz, lnx, lny, lnz, larea,
+     lmat) = _rows_gather(
+        [scene.light_q[:, 0], scene.light_q[:, 1], scene.light_q[:, 2],
+         scene.light_u[:, 0], scene.light_u[:, 1], scene.light_u[:, 2],
+         scene.light_v[:, 0], scene.light_v[:, 1], scene.light_v[:, 2],
+         scene.light_normal[:, 0], scene.light_normal[:, 1],
+         scene.light_normal[:, 2], scene.light_area, scene.light_mat], li)
+    lq = V3(lqx, lqy, lqz)
+    lu = V3(lux, luy, luz)
+    lv = V3(lvx, lvy, lvz)
+    lnrm = V3(lnx, lny, lnz)
 
     light_point = lq + lu * a_s + lv * b_s
     to_light = light_point - p
@@ -776,7 +893,7 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
 
     # Emission at (u=0, v=0, light_point) (rt/camera.go:645)
     emission = mats.emitted(
-        scene.materials, scene.textures, scene.light_mat[li],
+        scene.materials, scene.textures, lmat,
         jnp.zeros_like(dist), jnp.zeros_like(dist), light_point,
         **scene.tex_flags,
     )

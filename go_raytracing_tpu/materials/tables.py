@@ -30,6 +30,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import rng as rngmod
+from ..core import fetch
 from ..core.vec3 import V3
 from . import textures as tex
 
@@ -62,8 +63,9 @@ def can_use_nee_table(pack: MaterialPack):
 def emitted(pack: MaterialPack, tpack: tex.TexturePack, mat_id, u, v, p: V3,
             **tex_flags) -> V3:
     """Emission per ray: nonzero only for DIFFUSE_LIGHT (value = its texture)."""
-    is_light = pack.kind[mat_id] == MAT_DIFFUSE_LIGHT
-    val = tex.evaluate(tpack, pack.tex[mat_id], u, v, p, **tex_flags)
+    kind, tex_id = fetch.rows_fetch([pack.kind, pack.tex], mat_id)
+    is_light = kind == MAT_DIFFUSE_LIGHT
+    val = tex.evaluate(tpack, tex_id, u, v, p, **tex_flags)
     return V3.select(is_light, val, V3.zeros(is_light.shape))
 
 
@@ -71,9 +73,8 @@ def scatter(pack: MaterialPack, tpack: tex.TexturePack, mat_id,
             ray_d: V3, normal: V3, front_face, u, v, p: V3,
             seed, stream, bounce, **tex_flags) -> ScatterResult:
     """Branchless scatter for the whole wavefront."""
-    kind = pack.kind[mat_id]
-    fuzz = pack.fuzz[mat_id]
-    ior = pack.ior[mat_id]
+    kind, fuzz, ior, tex_id = fetch.rows_fetch(
+        [pack.kind, pack.fuzz, pack.ior, pack.tex], mat_id)
 
     su1, su2, _ = rngmod.uniform3(seed, stream, bounce, rngmod.SCATTER_U)
     z = 1.0 - 2.0 * su1
@@ -82,7 +83,7 @@ def scatter(pack: MaterialPack, tpack: tex.TexturePack, mat_id,
     rand_unit = V3(rr * jnp.cos(phi), rr * jnp.sin(phi), z)
     u_fresnel = rngmod.uniform(seed, stream, bounce, rngmod.FRESNEL)
 
-    albedo = tex.evaluate(tpack, pack.tex[mat_id], u, v, p, **tex_flags)
+    albedo = tex.evaluate(tpack, tex_id, u, v, p, **tex_flags)
 
     # --- Lambertian ---------------------------------------------------------
     lam_dir = normal + rand_unit
@@ -145,8 +146,7 @@ def brdf_pdf(pack: MaterialPack, mat_id, wi: V3, wo: V3, normal: V3):
     Lambertian: max(cos,0)/pi.  Metal: Phong lobe with exponent (1-fuzz)*50,
     0 when fuzz == 0.  Dielectric/light: 0 (delta).  Isotropic: 1/4pi.
     """
-    kind = pack.kind[mat_id]
-    fuzz = pack.fuzz[mat_id]
+    kind, fuzz = fetch.rows_fetch([pack.kind, pack.fuzz], mat_id)
 
     cos_theta = normal.dot(wo)
     lam_pdf = jnp.maximum(cos_theta, 0.0) / np.pi

@@ -118,32 +118,33 @@ def evaluate(pack: TexturePack, tex_id, u, v, p, *, has_noise=True, has_image=Tr
     ``has_noise`` / ``has_image`` are static flags letting scenes without
     those texture kinds skip the (comparatively expensive) evaluations.
     """
+    from ..core import fetch
     from ..core.vec3 import V3
 
-    kind = pack.kind[tex_id]
-    out = _gather_v3(pack.color, tex_id)
-
-    # Checker (rt/texture.go:63-77)
-    inv_scale = pack.inv_scale[tex_id]
+    (kind, c0, c1, c2, inv_scale, e0, e1, e2, o0, o1, o2, noise_scale,
+     image_id) = fetch.rows_fetch(
+        [pack.kind, pack.color[:, 0], pack.color[:, 1], pack.color[:, 2],
+         pack.inv_scale,
+         pack.even_color[:, 0], pack.even_color[:, 1], pack.even_color[:, 2],
+         pack.odd_color[:, 0], pack.odd_color[:, 1], pack.odd_color[:, 2],
+         pack.noise_scale, pack.image_id], tex_id)
+    out = V3(c0, c1, c2)
     lx = jnp.floor(inv_scale * p.x + 1e-4).astype(jnp.int32)
     ly = jnp.floor(inv_scale * p.y + 1e-4).astype(jnp.int32)
     lz = jnp.floor(inv_scale * p.z + 1e-4).astype(jnp.int32)
     is_even = (lx + ly + lz) % 2 == 0
-    checker = V3.select(
-        is_even, _gather_v3(pack.even_color, tex_id), _gather_v3(pack.odd_color, tex_id)
-    )
+    checker = V3.select(is_even, V3(e0, e1, e2), V3(o0, o1, o2))
     out = V3.select(kind == TEX_CHECKER, checker, out)
 
     if has_noise:
-        scale = pack.noise_scale[tex_id]
+        scale = noise_scale
         s = scale * p.z + 10.0 * perlin_turb_soa(pack.perlin, p * scale, 7)
         marble = 0.5 * (1.0 + jnp.sin(s))
         out = V3.select(kind == TEX_NOISE, V3(marble, marble, marble), out)
 
     if has_image:
-        img = pack.image_id[tex_id]
-        w = pack.atlas_wh[img, 0]
-        h = pack.atlas_wh[img, 1]
+        img = image_id
+        w, h = fetch.rows_fetch([pack.atlas_wh[:, 0], pack.atlas_wh[:, 1]], img)
         uc = jnp.clip(u, 0.0, 1.0)
         vc = 1.0 - jnp.clip(v, 0.0, 1.0)  # flip v (rt/image_texture.go:33)
         xi = jnp.clip((uc * w.astype(u.dtype)).astype(jnp.int32), 0, w - 1)

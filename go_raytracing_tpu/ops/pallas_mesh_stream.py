@@ -73,9 +73,15 @@ SEG = TILE * SEG_TILES       # 2048 triangles per segment
 ROWS = 16                    # tri rows (9 used: v0/e1/e2 xyz), 8-aligned
 
 MAX_INSTANCES = 31           # instance bitmask fits one i32
-MAXT_INST = 320              # tile slots per (block, instance); beyond:
-                             # dropped + counted host-side (worst
-                             # measured whole-block count is 571)
+MAXT_INST = 896              # tile slots per (block, instance).  Sized
+                             # >= the whole tile table at 112K tris
+                             # (876), because the instance-entry sort
+                             # key (wavefront._mesh_sort_key) compacts
+                             # sparse reaching rays so one block can
+                             # legitimately touch most of an instance;
+                             # beyond the cap: dropped + counted
+                             # host-side.  W_WORDS must stay <= 31 so
+                             # the per-group summary fits one i32.
 W_WORDS = MAXT_INST // 32    # per-(instance, group) bitmask words (10)
 
 # Whole tile table must sit in VMEM (no DMA in v3).  48 MB budget.
@@ -297,19 +303,31 @@ def _sweep_tile(tri_ref, tid, o_l, d_l, t_cap, best_t, best_id, ii,
 def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
             w2l_ref, rootb_ref, tileb_ref, tri_ref, rays_ref,
             t_out, id_out,
-            lr_scr, fr_scr, gw, gw_s, tl_s, sems,
-            *, t_min, n_inst, any_hit):
+            lr_scr, gw, gw_s, tl_s, sems,
+            *, t_min, n_inst, any_hit, skip_b=False):
     imask = instmask_ref[0, 0, 0]
     nsegs = nseg_ref[0, 0, 0]
     big = jnp.float32(BIG)
 
-    # ---- zero the per-instance slot-bit rows + per-group summaries
-    for iw in range(n_inst * (W_WORDS + 1)):
-        gw[iw, :, :] = jnp.zeros((1, LANES), jnp.int32)
+    # ---- zero the slot-bit rows + per-group summaries, but only for
+    # instances this block can reach: with 29 words per instance the
+    # unconditional wipe was ~290 vector writes per block, paid even by
+    # fully-dead blocks (most blocks, after the reach prefilter).  Phase
+    # A and B are gated on the same imask bits, so stale rows of absent
+    # instances are never read.
+    for ii in range(n_inst):
+        @pl.when((jax.lax.shift_right_logical(imask, ii) & 1) == 1)
+        def _(ii=ii):
+            for iw in range(W_WORDS + 1):
+                gw[ii * (W_WORDS + 1) + iw, :, :] = jnp.zeros(
+                    (1, LANES), jnp.int32)
 
-    # ---- phase 0: per-instance local rays + per-group frustum rows.
+    # ---- phase 0: per-instance local rays + per-ray root-box interval.
     # Rays arrive [8, GROUP, N_GROUPS]: member on sublanes, group on
-    # lanes — so an axis-0 reduce IS the per-group frustum fold.
+    # lanes — so an axis-0 reduce IS the per-group fold.  lr_scr rows:
+    # 0-2 local origin, 3-5 local dir, 6-8 1/dir (signed-eps safe),
+    # 9 per-ray segment entry into the instance root box, 10 exit
+    # (already clipped by t_cap, so dead lanes have exit < entry).
     ox = rays_ref[0, 0]          # [GROUP, LANES]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
@@ -317,11 +335,9 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
     dy = rays_ref[0, 4]
     dz = rays_ref[0, 5]
     t_cap = rays_ref[0, 6]
-    live = t_cap > 0.0
     for ii in range(n_inst):
         @pl.when((jax.lax.shift_right_logical(imask, ii) & 1) == 1)
         def _(ii=ii):
-            ol3, dl3 = [], []
             t_en = jnp.full((GROUP, LANES), t_min, jnp.float32)
             t_ex = jnp.minimum(t_cap, big)
             for i in range(3):
@@ -336,33 +352,13 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
                 inv = 1.0 / jnp.where(jnp.abs(dl) < 1e-12,
                                       jnp.where(dl < 0, -1e-12, 1e-12),
                                       dl)
+                lr_scr[ii, 6 + i] = inv
                 ta = (rootb_ref[i] - ol) * inv
                 tb = (rootb_ref[3 + i] - ol) * inv
                 t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
                 t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
-                ol3.append(ol)
-                dl3.append(dl)
-            contrib = live & (t_ex >= t_en)
-
-            def red(x, fill, op):
-                return op(jnp.where(contrib, x, fill), axis=0,
-                          keepdims=True)           # [1, LANES]
-
-            for i in range(3):
-                o_lo = red(ol3[i], big, jnp.min)
-                o_hi = red(ol3[i], -big, jnp.max)
-                d_lo = red(dl3[i], big, jnp.min)
-                d_hi = red(dl3[i], -big, jnp.max)
-                bd = (d_lo > 1e-12) | (d_hi < -1e-12)
-                sa = 1.0 / jnp.where(bd, d_lo, 1.0)
-                sb = 1.0 / jnp.where(bd, d_hi, 1.0)
-                fr_scr[ii, i] = o_lo
-                fr_scr[ii, 3 + i] = o_hi
-                fr_scr[ii, 6 + i] = jnp.minimum(sa, sb)
-                fr_scr[ii, 9 + i] = jnp.maximum(sa, sb)
-                fr_scr[ii, 12 + i] = bd.astype(jnp.float32)
-            fr_scr[ii, 15] = red(t_en, big, jnp.min)
-            fr_scr[ii, 16] = red(t_ex, -big, jnp.max)
+            lr_scr[ii, 9] = t_en
+            lr_scr[ii, 10] = t_ex
 
     # ---- phase A: per-instance dense tile slot lists + per-group bit
     # matrices.  For instance ii: rows ii*(W_WORDS+1)+w of gw hold slot
@@ -376,11 +372,10 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
 
         def inst_step(nt, ii):
             tm0 = tilemask_ref[0, 0, seg * n_inst + ii]
-            near_r = fr_scr[ii, 15]
-            far_r = fr_scr[ii, 16]
-            fr_rows = [(fr_scr[ii, i], fr_scr[ii, 3 + i],
-                        fr_scr[ii, 6 + i], fr_scr[ii, 9 + i],
-                        fr_scr[ii, 12 + i] > 0.5) for i in range(3)]
+            near0 = lr_scr[ii, 9]
+            far0 = lr_scr[ii, 10]
+            slab_rows = [(lr_scr[ii, i], lr_scr[ii, 6 + i])
+                         for i in range(3)]
             row0 = ii * (W_WORDS + 1)
 
             def bit_body(c):
@@ -389,24 +384,24 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
                 k = 31 - jax.lax.clz(nz)
                 tid = seg * SEG_TILES + k
 
-                # group-frustum slab test, vector over the 128 groups
-                near = near_r
-                farv = far_r
+                # EXACT per-ray slab test ([8, 128]: member x group) —
+                # a group frustum over 8 compaction-scattered rays
+                # covers ~8x more tiles than the union of its rays
+                # (measured 242 vs ~30 tiles/group on bounce-1 rays);
+                # per-ray costs the same vreg ops, and the axis-0 fold
+                # gives the minimal per-group mask for 8-ray sweeps.
+                near = near0
+                farv = far0
                 for i in range(3):
                     b_lo = tileb_ref[i, tid]
                     b_hi = tileb_ref[3 + i, tid]
-                    olo, ohi, g0, g1, bd = fr_rows[i]
-                    r_lo = b_lo - ohi
-                    r_hi = b_hi - olo
-                    p1, p2 = r_lo * g0, r_lo * g1
-                    p3, p4 = r_hi * g0, r_hi * g1
-                    t_lo = jnp.minimum(jnp.minimum(p1, p2),
-                                       jnp.minimum(p3, p4))
-                    t_hi = jnp.maximum(jnp.maximum(p1, p2),
-                                       jnp.maximum(p3, p4))
-                    near = jnp.maximum(near, jnp.where(bd, t_lo, -BIG))
-                    farv = jnp.minimum(farv, jnp.where(bd, t_hi, BIG))
-                hit = (farv >= near).astype(jnp.int32)
+                    ol, inv = slab_rows[i]
+                    ta = (b_lo - ol) * inv
+                    tb = (b_hi - ol) * inv
+                    near = jnp.maximum(near, jnp.minimum(ta, tb))
+                    farv = jnp.minimum(farv, jnp.maximum(ta, tb))
+                hit = jnp.any(farv >= near, axis=0, keepdims=True
+                              ).astype(jnp.int32)      # [1, LANES]
 
                 @pl.when(nt < MAXT_INST)
                 def _():
@@ -447,6 +442,11 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
     # were ~55% of the per-sweep cost (scripts/stream_micro.py).
     acc_t = jnp.full((GROUP, LANES), BIG, jnp.float32)
     acc_id = jnp.full((GROUP, LANES), -1, jnp.int32)
+
+    if skip_b:  # phase-timing debug mode: emit phase-A state, no sweeps
+        t_out[0] = acc_t + gw[0, :, :] .astype(jnp.float32) * 0.0
+        id_out[0] = acc_id
+        return
 
     for ii in range(n_inst):
         row0 = ii * (W_WORDS + 1)
@@ -543,9 +543,10 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
     id_out[0] = acc_id
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "n_inst", "any_hit"))
+@functools.partial(jax.jit, static_argnames=(
+    "t_min", "n_inst", "any_hit", "skip_b"))
 def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
-          t_min, n_inst, any_hit=False):
+          t_min, n_inst, any_hit=False, skip_b=False):
     from ..core.vec3 import V3
 
     if isinstance(o, V3):
@@ -618,7 +619,7 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
 
     t, pid = pl.pallas_call(
         functools.partial(_kernel, t_min=np.float32(t_min), n_inst=n_inst,
-                          any_hit=any_hit),
+                          any_hit=any_hit, skip_b=skip_b),
         grid=grid,
         in_specs=[
             blk_smem(1),            # nseg
@@ -637,8 +638,7 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
             jax.ShapeDtypeStruct((n_blocks, GROUP, LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_inst, 6, GROUP, LANES), jnp.float32),   # lr_scr
-            pltpu.VMEM((n_inst, 17, 1, LANES), jnp.float32),      # fr_scr
+            pltpu.VMEM((n_inst, 11, GROUP, LANES), jnp.float32),  # lr_scr
             pltpu.VMEM((n_inst * (W_WORDS + 1), 1, LANES), jnp.int32),
             pltpu.SMEM((W_WORDS + 1, 1, LANES), jnp.int32),       # gw_s
             pltpu.SMEM((-(-(n_inst * MAXT_INST) // 128), 128),

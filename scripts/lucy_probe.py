@@ -77,7 +77,7 @@ def main():
 
     # argsort + permute alone
     def sort_only(o, d, t_max):
-        order = jnp.argsort(wavefront._coherence_key(proto, o, d, t_max))
+        order = jnp.argsort(wavefront._mesh_sort_key(proto, o, d, 1e-3, t_max)[1])
         inv = jnp.zeros((r,), jnp.int32).at[order].set(
             jnp.arange(r, dtype=jnp.int32))
         fwd = jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, t_max,

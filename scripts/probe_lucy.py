@@ -90,7 +90,7 @@ def main():
     # 1. argsort of the coherence key
     @jax.jit
     def key_sort(o, d, t_max):
-        key = wavefront._coherence_key(proto, o, d, t_max)
+        _, key = wavefront._mesh_sort_key(proto, o, d, 1e-3, t_max)
         return jnp.argsort(key)
 
     dt, _ = timeit(key_sort, o, d, t_max)

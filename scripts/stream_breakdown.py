@@ -58,7 +58,7 @@ def main():
 
     @jax.jit
     def sortkey(o, d, t_max):
-        key = wavefront._coherence_key(proto, o, d, t_max)
+        _, key = wavefront._mesh_sort_key(proto, o, d, 1e-3, t_max)
         order = jnp.argsort(key)
         return (V3(o.x[order], o.y[order], o.z[order]),
                 V3(d.x[order], d.y[order], d.z[order]), t_max[order])

@@ -57,7 +57,7 @@ def main():
     t_max = jnp.where(sw, t_s, jnp.where(h_p, t_p, big))
 
     # coherence sort, as _mesh_intersect does
-    key = wavefront._coherence_key(proto, o, d, t_max)
+    _, key = wavefront._mesh_sort_key(proto, o, d, 1e-3, t_max)
     order = jnp.argsort(key)
     o = V3(o.x[order], o.y[order], o.z[order])
     d = V3(d.x[order], d.y[order], d.z[order])
