@@ -1009,9 +1009,7 @@ def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:
     executable."""
     from ..ops import pallas_wavefront as mega
 
-    use_nee = scene.n_lights > 0
-    hdri_nee = use_nee and scene.env is not None and scene.env_importance
-    if differentiable or hdri_nee or not mega.applicable(scene):
+    if differentiable or not mega.applicable(scene):
         return "off"
     if cam.max_depth >= mega.SPLIT_DEPTH_MIN and r >= mega.SPLIT_R_MIN:
         return "split"

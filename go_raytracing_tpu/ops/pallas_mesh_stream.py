@@ -21,31 +21,39 @@ Design history (all numbers measured on v5e, scripts/probe_lucy.py):
   v4  deletes v3's unrefined-overflow path (128x sweep blowup on the
       12% of blocks past the slot cap, and it read garbage slots —
       faulted the TPU worker) and adds per-group summary words.
-  v5  (this file) makes the phase-B instance loop static and replaces
-      the 7 dynamic pltpu.rolls per sweep (~55% of sweep cost,
+  v5  makes the phase-B instance loop static and replaces the 7
+      dynamic pltpu.rolls per sweep (~55% of sweep cost,
       scripts/stream_micro.py) with an incremental static roll carried
-      through the group loop.  Culling is hierarchical and
-      near-per-ray:
+      through the group loop.
+  v6  (this file) culling is EXACT per ray, and the cull-slot bitmask
+      covers the whole mesh at any size:
 
-        XLA     per-group (8-ray) frustums per instance (local-space
-                root-box slab test excludes rays that can't reach the
-                instance), folded to per-block frustums for the
-                segment/tile bitmask cull (as v2).
-        kernel  phase A: each surviving tile's AABB is tested against
-                all 128 group frustums in ONE vector pass ([1,128],
-                groups on lanes) -> per-(instance, tile) group bitmask.
+        XLA     per-block per-instance root-box cull (only to bound the
+                in-kernel candidate scan); rays are pre-sorted by
+                wavefront._mesh_sort_key (nearest entered instance +
+                local entry cell + local direction) and pre-filtered by
+                its reach bit.
+        kernel  phase 0: per-instance local rays, 1/d, and per-ray
+                root-box [entry, exit] intervals ([8, 128]: member on
+                sublanes, group on lanes).
+        kernel  phase A: each candidate SLOT's AABB is slab-tested
+                against every ray ([8,128] vector pass — same vreg cost
+                as the old [1,128] group-frustum test); the axis-0 fold
+                is the MINIMAL per-group mask for 8-ray sweeps.  Group
+                frustums over compaction-scattered rays covered ~242
+                tiles vs ~30 for the union of the rays (measured,
+                bounce-1); per-ray exactness was the 6x.
         kernel  phase B: per group with any bits (one summary-word SMEM
-                read filters empty groups): the group's 8 local rays are
-                lane-extracted per slot (pltpu.roll by group index +
-                broadcast; the slot stream mixes instances), and each
-                set tile is swept with tris-on-lanes Moller-Trumbore.
-                Per-lane bests are lane-reduced once per group and
-                merged into the block accumulator by an iota-select.
+                read filters empty groups): the group's 8 local rays
+                come from an incremental static roll, and each set
+                slot's tps tiles are swept with tris-on-lanes
+                Moller-Trumbore.  Per-lane bests are lane-reduced once
+                per group and merged by an iota-select.
 
-  The slot bitmasks cover MAXT_INST tile slots per (block, instance) —
-  sized past the worst measured whole-block count (571 at 112K tris x
-  10 instances).  Blocks needing more drop the excess, and the
-  host-side popcount surfaces the dropped-pair count (never silent).
+  A cull SLOT is tps = ceil(n_tiles / MAXT_INST) adjacent leaf-order
+  tiles, so MAXT_INST slot bits always cover the whole mesh: nothing is
+  ever dropped (the host-side overflow count remains wired and must
+  read 0).
 
 Like every hot kernel here: no per-ray gathers, no [R,3] arrays, no
 vector-reduce conds (scalar bit tests only).
@@ -73,15 +81,15 @@ SEG = TILE * SEG_TILES       # 2048 triangles per segment
 ROWS = 16                    # tri rows (9 used: v0/e1/e2 xyz), 8-aligned
 
 MAX_INSTANCES = 31           # instance bitmask fits one i32
-MAXT_INST = 896              # tile slots per (block, instance).  Sized
-                             # >= the whole tile table at 112K tris
-                             # (876), because the instance-entry sort
-                             # key (wavefront._mesh_sort_key) compacts
-                             # sparse reaching rays so one block can
-                             # legitimately touch most of an instance;
-                             # beyond the cap: dropped + counted
-                             # host-side.  W_WORDS must stay <= 31 so
-                             # the per-group summary fits one i32.
+MAXT_INST = 896              # cull slots per (block, instance); a slot
+                             # is tps adjacent tiles with tps chosen so
+                             # MAXT_INST slots cover the whole mesh
+                             # (tps=1 up to 114K tris).  The instance-
+                             # entry sort key compacts sparse reaching
+                             # rays, so one block can legitimately touch
+                             # most of an instance.  W_WORDS must stay
+                             # <= 31 so the per-group summary fits one
+                             # i32 (millions of tris at tps >= 2).
 W_WORDS = MAXT_INST // 32    # per-(instance, group) bitmask words (10)
 
 # Whole tile table must sit in VMEM (no DMA in v3).  48 MB budget.
@@ -97,16 +105,25 @@ INTERPRET = False
 
 def build_stream_tables(v0, e1, e2):
     """NumPy: ([NT, ROWS, TILE] tile-major tri rows, [S, 6, SEG_TILES]
-    tile AABBs, n_seg).
+    per-SLOT AABBs, n_seg).
 
     Triangles are in implicit-BVH leaf order (geometry/mesh_bvh.py), so
-    each 128-tri tile is a spatially compact subtree.  Padding triangles
-    are zero (degenerate, never pass Moller-Trumbore); padding tile
-    boxes are +BIG/-BIG so every slab test fails.
+    each 128-tri tile is a spatially compact subtree.  A cull SLOT is
+    ``tps = ceil(n_tiles / MAXT_INST)`` adjacent tiles (1 for <= 112K
+    tris), so the per-(block, instance) slot bitmask always covers the
+    WHOLE mesh — overflow is structurally impossible at any size the
+    VMEM table admits (leaf-order adjacency keeps the grouped boxes
+    compact).  Padding triangles are zero (degenerate, never pass
+    Moller-Trumbore); padding slot boxes are +BIG/-BIG so every slab
+    test fails.
     """
     t = v0.shape[0]
-    s = -(-t // SEG)
-    tpad = s * SEG
+    nt_raw = -(-t // TILE)
+    tps = max(1, -(-nt_raw // MAXT_INST))   # tiles per cull slot
+    slot_tris = TILE * tps
+    s = -(-(-(-t // slot_tris)) // SEG_TILES)  # segments of 16 slots
+    nslot = s * SEG_TILES
+    tpad = nslot * slot_tris
     nt = tpad // TILE
 
     rows9 = np.zeros((ROWS, tpad), np.float32)
@@ -125,8 +142,8 @@ def build_stream_tables(v0, e1, e2):
     hi_p = np.full((tpad, 3), -np.inf, np.float32)
     lo_p[:t] = lo_t
     hi_p[:t] = hi_t
-    mn = lo_p.reshape(nt, TILE, 3).min(axis=1)
-    mx = hi_p.reshape(nt, TILE, 3).max(axis=1)
+    mn = lo_p.reshape(nslot, slot_tris, 3).min(axis=1)
+    mx = hi_p.reshape(nslot, slot_tris, 3).max(axis=1)
     thin = (mx - mn) < 1e-4
     mn = np.where(thin, mn - 1e-4, mn)
     mx = np.where(thin, mx + 1e-4, mx)
@@ -304,7 +321,7 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
             w2l_ref, rootb_ref, tileb_ref, tri_ref, rays_ref,
             t_out, id_out,
             lr_scr, gw, gw_s, tl_s, sems,
-            *, t_min, n_inst, any_hit, skip_b=False):
+            *, t_min, n_inst, any_hit, tps=1, skip_b=False):
     imask = instmask_ref[0, 0, 0]
     nsegs = nseg_ref[0, 0, 0]
     big = jnp.float32(BIG)
@@ -484,14 +501,16 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
                             nz = word & (-word)
                             b = 31 - jax.lax.clz(nz)
                             slot = ii * MAXT_INST + w_idx * 32 + b
-                            tid = tl_s[
+                            sid = tl_s[
                                 jax.lax.shift_right_logical(slot, 7),
                                 slot & 127]
-                            best_t, best_id = _sweep_tile(
-                                tri_ref, tid, o_l, d_l, g_cap,
-                                best_t, best_id, ii,
-                                t_min=t_min, any_hit=any_hit,
-                            )
+                            # a cull slot covers tps adjacent tiles
+                            for dt in range(tps):
+                                best_t, best_id = _sweep_tile(
+                                    tri_ref, sid * tps + dt, o_l, d_l,
+                                    g_cap, best_t, best_id, ii,
+                                    t_min=t_min, any_hit=any_hit,
+                                )
                             return (word & (word - 1), best_t, best_id)
 
                         w0 = gw_s[w_idx, 0, g]
@@ -547,6 +566,8 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
     "t_min", "n_inst", "any_hit", "skip_b"))
 def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
           t_min, n_inst, any_hit=False, skip_b=False):
+    # tiles per cull slot, from the build's padding invariant
+    tps = tri_tiles.shape[0] // (tilebox.shape[0] * SEG_TILES)
     from ..core.vec3 import V3
 
     if isinstance(o, V3):
@@ -573,7 +594,7 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
 
     n_blocks = padded // BLOCK
     s = tilebox.shape[0]
-    # per-tile boxes for the in-kernel refine, [6, NT]: SMEM arrays get
+    # per-slot boxes for the in-kernel refine, [6, NSLOT]: SMEM arrays get
     # an (8, 128)-tiled layout, so the big axis must be LAST (a [NT, 6]
     # layout lane-pads 6 -> 128: 450 KB of the 1 MB SMEM for nothing).
     tileb_flat = tilebox.transpose(1, 0, 2).reshape(6, s * SEG_TILES)
@@ -619,7 +640,7 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
 
     t, pid = pl.pallas_call(
         functools.partial(_kernel, t_min=np.float32(t_min), n_inst=n_inst,
-                          any_hit=any_hit, skip_b=skip_b),
+                          any_hit=any_hit, tps=tps, skip_b=skip_b),
         grid=grid,
         in_specs=[
             blk_smem(1),            # nseg

@@ -235,7 +235,7 @@ def _pcg3d(x, y, z):
 
 
 def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
-                max_depth, resume=False):
+                max_depth, resume=False, use_hdri=False):
     use_nee = n_lights > 0
     f24 = np.float32(2.0 ** -24)
 
@@ -246,6 +246,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             # dense blocks between phases (identical RNG streams -> same
             # image as the single-shot kernel).
             (bounds_ref, pt, st, sb, vt, lt,
+             *hdri_refs,
              ox, oy, oz, dx, dy, dz, tmr, stream_ref,
              tpxr, tpyr, tpzr, rri, rgi, rbi, flgi,
              mdxi, mdyi, mdzi, mtri, mtgi, mtbi,
@@ -253,6 +254,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
              oox, ooy, ooz, odx, ody, odz, otx, oty, otz) = refs
         else:
             (pt, st, sb, vt, lt,
+             *hdri_refs,
              ox, oy, oz, dx, dy, dz, tmr, stream_ref,
              rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl) = refs
         o = [ox[...], oy[...], oz[...]]
@@ -624,6 +626,39 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     contrib = jnp.minimum(lsel[13 + c] * atten[c] * scale, FIREFLY)
                     rad[c] = rad[c] + jnp.where(ok, tp[c] * contrib, 0.0)
 
+            if use_hdri:
+                # HDRI NEE: the importance sample (direction, emission,
+                # pdf) depends only on the RNG stream, never on ray
+                # state, so it is precomputed XLA-side (alias-table
+                # gathers are cheap there, impossible here) and streamed
+                # in as 7 rows per bounce; the kernel keeps the shadow
+                # sweep, lambertian brdf pdf, and balance-heuristic MIS
+                # (wavefront.sample_hdri_light semantics, identical RNG
+                # -> identical images).
+                (href,) = hdri_refs
+                if resume:
+                    b_rel = (bounce_u.astype(jnp.int32)
+                             - bounds_ref[0]) * np.int32(7)
+                else:
+                    b_rel = bounce_u.astype(jnp.int32) * np.int32(7)
+                hrow = [href[b_rel + np.int32(c)] for c in range(7)]
+                hd = hrow[0:3]
+                hem = hrow[3:6]
+                pdf_h = hrow[6]
+                cos_h = dot3(nrm, hd)
+                facing_h = cos_h > 0.0
+                shadow_cap_h = jnp.where(use_mis & facing_h,
+                                         zero + np.float32(3.0e38), zero)
+                blocked_h = occluded(p, hd, shadow_cap_h, bounce_u, 66)
+                pdf_bh = jnp.maximum(cos_h, 0.0) * np.float32(1.0 / np.pi)
+                weight_h = pdf_h / jnp.maximum(pdf_h + pdf_bh, 1e-20)
+                scale_h = cos_h / jnp.maximum(pdf_h, 1e-12) * weight_h
+                ok_h = facing_h & ~blocked_h & use_mis
+                for c in range(3):
+                    contrib = jnp.minimum(hem[c] * atten[c] * scale_h,
+                                          FIREFLY)
+                    rad[c] = rad[c] + jnp.where(ok_h, tp[c] * contrib, 0.0)
+
             alive = alive & hit & scattered
             for c in range(3):
                 tp[c] = jnp.where(alive, tp[c] * atten[c], tp[c])
@@ -709,7 +744,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                      "n_lights", "has_checker", "max_depth"),
 )
 def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
-          n_sph_seg, n_vol, n_lights, has_checker, max_depth):
+          n_sph_seg, n_vol, n_lights, has_checker, max_depth, hdri_rows=None):
     from ..core.vec3 import V3
 
     oc = [o.x, o.y, o.z]
@@ -733,11 +768,21 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
     out_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    use_hdri = hdri_rows is not None
+    hdri_in, hdri_spec = [], []
+    if use_hdri:
+        hdri = jnp.stack([prep(a) for a in hdri_rows], axis=0)
+        hdri_in = [hdri]
+        d7 = len(hdri_rows)
+        hdri_spec = [pl.BlockSpec((d7, BLOCK_ROWS, LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
-                    has_checker, max_depth),
+                    has_checker, max_depth, use_hdri=use_hdri),
         grid=grid,
-        in_specs=[smem] * 7 + [ray_spec] * 8,
+        in_specs=[smem] * 7 + hdri_spec + [ray_spec] * 8,
         out_specs=[out_spec] * 10,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
         + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
@@ -745,7 +790,7 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
     )(
         jnp.asarray([n_planar, n_sphere], jnp.int32),
         jnp.asarray([seed], jnp.uint32),
-        pt, st, sb, vt, lt, *rays,
+        pt, st, sb, vt, lt, *hdri_in, *rays,
     )
     flat = [x.reshape(-1)[:r] for x in outs]
     rad = V3(flat[0], flat[1], flat[2])
@@ -764,7 +809,7 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
 )
 def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
                  n_sph_seg, n_vol, n_lights, has_checker, max_depth,
-                 b_start, b_end):
+                 b_start, b_end, hdri_rows=None):
     """Resumable phase: `flat` is the 21-tuple of [R] state arrays
     (o3, d3, tm, stream, tp3, rad3, flags, mdir3, mtp3); returns the
     19-tuple (rad3, mdir3, mtp3, flags, o3, d3, tp3) of [R] arrays."""
@@ -780,6 +825,16 @@ def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
 
     rays = [prep(a) for a in flat]
 
+    use_hdri = hdri_rows is not None
+    hdri_in, hdri_spec = [], []
+    if use_hdri:
+        hdri = jnp.stack([prep(a) for a in hdri_rows], axis=0)
+        hdri_in = [hdri]
+        d7 = len(hdri_rows)
+        hdri_spec = [pl.BlockSpec((d7, BLOCK_ROWS, LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+
     grid = (rows // BLOCK_ROWS,)
     ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -791,9 +846,10 @@ def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
     i32s = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
-                    has_checker, max_depth, resume=True),
+                    has_checker, max_depth, resume=True,
+                    use_hdri=use_hdri),
         grid=grid,
-        in_specs=[smem] * 8 + [ray_spec] * 21,
+        in_specs=[smem] * 8 + hdri_spec + [ray_spec] * 21,
         out_specs=[out_spec] * 19,
         out_shape=[f32s] * 3 + [f32s] * 6 + [i32s] + [f32s] * 9,
         interpret=INTERPRET,
@@ -801,7 +857,7 @@ def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
         jnp.asarray([n_planar, n_sphere], jnp.int32),
         jnp.asarray([seed], jnp.uint32),
         jnp.asarray([b_start, b_end], jnp.int32),
-        pt, st, sb, vt, lt, *rays,
+        pt, st, sb, vt, lt, *hdri_in, *rays,
     )
     return tuple(x.reshape(-1)[:r] for x in outs)
 
@@ -871,11 +927,35 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None):
         has_checker=scene.has_checker, max_depth=cam.max_depth,
     )
     r = o.x.shape[0]
+
+    # HDRI NEE: the importance sample depends only on the RNG stream, so
+    # precompute (direction, emission, pdf) per (ray, bounce) XLA-side
+    # (alias-table gathers) and stream 7 rows/bounce into the kernel.
+    use_hdri = (n_lights > 0 and scene.env is not None
+                and scene.env_importance)
+
+    def hdri_rows_for(stream_ids, b0, b1):
+        from ..lights import hdri as hdri_mod
+
+        rows = []
+        env = sg(scene.env)
+        for b in range(b0, b1):
+            xi1 = rngmod.uniform(seed_u, stream_ids, jnp.uint32(b),
+                                 rngmod.HDRI_ROW)
+            xi2 = rngmod.uniform(seed_u, stream_ids, jnp.uint32(b),
+                                 rngmod.HDRI_COL)
+            ld, em, pdf_h = hdri_mod.sample_direction_soa(env, xi1, xi2)
+            rows += [ld.x, ld.y, ld.z, em.x, em.y, em.z, pdf_h]
+        return rows
+
     if split is None:
         split = cam.max_depth >= SPLIT_DEPTH_MIN and r >= SPLIT_R_MIN
     if not split:
         return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
-                     stream, **statics)
+                     stream,
+                     hdri_rows=(hdri_rows_for(stream, 0, cam.max_depth)
+                                if use_hdri else None),
+                     **statics)
 
     # Phase 1: bounces [0, SPLIT_AT) in pixel order (primary coherence).
     o, d, tm = sg(o), sg(d), sg(tm)
@@ -889,7 +969,10 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None):
             zero * 1.0, zero * 1.0, zero * 1.0,   # miss dir
             zero * 1.0, zero * 1.0, zero * 1.0)   # miss throughput
     out1 = _call_resume(pt, st, sb, vt, lt, seed_u, flat,
-                        b_start=0, b_end=SPLIT_AT, **statics)
+                        b_start=0, b_end=SPLIT_AT,
+                        hdri_rows=(hdri_rows_for(stream, 0, SPLIT_AT)
+                                   if use_hdri else None),
+                        **statics)
     rad3, mdir3, mtp3 = out1[0:3], out1[3:6], out1[6:9]
     flg1 = out1[9]
     o3, d3, tp3 = out1[10:13], out1[13:16], out1[16:19]
@@ -901,7 +984,12 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None):
              mdir3[0], mdir3[1], mdir3[2], mtp3[0], mtp3[1], mtp3[2])
     flat2s, inv = _phase_state_sort(flat2, alive1)
     out2 = _call_resume(pt, st, sb, vt, lt, seed_u, flat2s,
-                        b_start=SPLIT_AT, b_end=cam.max_depth, **statics)
+                        b_start=SPLIT_AT, b_end=cam.max_depth,
+                        hdri_rows=(
+                            hdri_rows_for(flat2s[7], SPLIT_AT,
+                                          cam.max_depth)
+                            if use_hdri else None),
+                        **statics)
 
     # Inverse-permute the consumed outputs with one packed row gather.
     bc = jax.lax.bitcast_convert_type

@@ -461,3 +461,118 @@ def test_mesh_stream_kernel_matches_frontier():
     finally:
         pallas_mesh.MAX_KERNEL_TRIS = old_cap
         pallas_mesh_stream.INTERPRET = False
+
+
+def test_mesh_stream_slot_grouping_matches_frontier():
+    """tps > 1 (multiple tiles per cull slot, the >114K-tri regime) via a
+    shrunken MAXT_INST: slot boxes group adjacent leaf-order tiles and
+    phase B sweeps all of a set slot's tiles.  Kernel must still match
+    the frontier exactly, with zero overflow."""
+    from go_raytracing_tpu.geometry import mesh_bvh
+    from go_raytracing_tpu.geometry.scene import Affine
+    from go_raytracing_tpu.io import obj as obj_mod
+    from go_raytracing_tpu.ops import pallas_mesh, pallas_mesh_stream
+    from go_raytracing_tpu.core.vec3 import V3
+
+    old_cap = pallas_mesh.MAX_KERNEL_TRIS
+    old_maxt = pallas_mesh_stream.MAXT_INST
+    old_ww = pallas_mesh_stream.W_WORDS
+    pallas_mesh.MAX_KERNEL_TRIS = 512
+    pallas_mesh_stream.MAXT_INST = 32
+    pallas_mesh_stream.W_WORDS = 1
+    pallas_mesh_stream.INTERPRET = True
+    try:
+        verts, tris = obj_mod.lucy_standin(64, 56)   # 6,930 tris, 55 tiles
+        instances = []
+        for i in range(2):
+            xf = Affine.trs(scale=(0.8, 0.8, 0.8),
+                            rotation_deg=(0, 45 * i, 0),
+                            position=(i * 1.5 - 0.75, 0.0, -3.0))
+            instances.append((xf.m, 0))
+        proto = mesh_bvh.build_proto(verts, tris, instances)
+        nt = proto.s_tri.shape[0]
+        nslot = proto.s_tilebox.shape[0] * pallas_mesh_stream.SEG_TILES
+        assert nt // nslot == 2   # tps = 2
+        assert pallas_mesh_stream.stream_ok(proto)
+
+        rng = np.random.default_rng(7)
+        n = pallas_mesh_stream.BLOCK
+        o = np.stack([rng.uniform(-3, 3, n), rng.uniform(-1, 3, n),
+                      np.full(n, 2.0)], axis=-1)
+        targets = np.stack([
+            rng.uniform(-2.5, 2.5, n), rng.uniform(-0.5, 1.5, n),
+            np.full(n, -3.0),
+        ], axis=-1)
+        d = targets - o
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o32 = jnp.asarray(o, jnp.float32)
+        d32 = jnp.asarray(d, jnp.float32)
+        tmax = jnp.full(n, 3.0e38, jnp.float32)
+        tmax = tmax.at[::11].set(-1.0)
+
+        t_f, tri_f, inst_f, hit_f, _ = mesh_bvh.intersect_mesh(
+            proto, o32, d32, 1e-3, tmax
+        )
+        t_k, tri_k, inst_k, hit_k, ovf = (
+            pallas_mesh_stream.intersect_mesh_stream(
+                proto, V3.from_rows(o32), V3.from_rows(d32), 1e-3, tmax
+            )
+        )
+        assert int(ovf) == 0
+        hit_f, hit_k = np.asarray(hit_f), np.asarray(hit_k)
+        assert hit_f.sum() > 100
+        assert (hit_f == hit_k).all()
+        both = hit_f & hit_k
+        np.testing.assert_allclose(
+            np.asarray(t_k)[both], np.asarray(t_f)[both],
+            rtol=2e-4, atol=2e-4,
+        )
+        assert (np.asarray(inst_k)[both] == np.asarray(inst_f)[both]).all()
+        assert (np.asarray(tri_k)[both] == np.asarray(tri_f)[both]).all()
+    finally:
+        pallas_mesh.MAX_KERNEL_TRIS = old_cap
+        pallas_mesh_stream.MAXT_INST = old_maxt
+        pallas_mesh_stream.W_WORDS = old_ww
+        pallas_mesh_stream.INTERPRET = False
+
+
+def test_megakernel_hdri_nee_matches_standard_path():
+    """HDRI-NEE scenes through the megakernel: the importance sample is
+    precomputed XLA-side per (ray, bounce) and streamed into the kernel;
+    the image must be IDENTICAL to the standard integrator (same RNG)."""
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    rng = np.random.default_rng(5)
+    data = 0.2 + rng.random((16, 32, 3)).astype(np.float32)
+    data[4:7, 20:24] = 40.0   # hotspot drives importance sampling
+
+    b = grt.SceneBuilder()
+    b.set_environment(data, rotation_degrees=30.0)
+    b.plane((0, 0, 0), (0, 1, 0), b.lambertian((0.6, 0.6, 0.6)))
+    b.sphere((0, 1, -1), 0.8, b.lambertian((0.3, 0.5, 0.7)))
+    b.sphere((-1.8, 0.8, 0), 0.7, b.metal((0.9, 0.8, 0.5), 0.1))
+    light = b.diffuse_light((5, 5, 5))
+    q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), light)
+    b.add_light(q)
+    scene = b.build()
+    assert scene.env is not None and scene.env_importance
+    assert scene.n_lights > 0
+
+    from go_raytracing_tpu.camera import Camera
+
+    cam = Camera(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=4, max_depth=4,
+        look_from=(0, 2, 5), look_at=(0, 0.8, 0),
+        vfov=45.0, use_sky_gradient=False,
+    )
+    mega.INTERPRET = True
+    try:
+        assert mega.applicable(scene)
+        from go_raytracing_tpu.integrator import wavefront as wf
+
+        assert wf.choose_mega_mode(scene, cam, 1 << 20, False) == "single"
+        img_mega = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    finally:
+        mega.INTERPRET = False
+    img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    np.testing.assert_allclose(img_mega, img_ref, rtol=1e-3, atol=2e-3)
