@@ -125,6 +125,15 @@ def main_all():
         except Exception as e:  # keep going; report the failure
             results[name] = dict(error=str(e)[:200])
             print(f"{name:15s}: FAILED {e}")
+    try:
+        mrays, wall, loss = bench_grad()
+        results["cornell-fwd-bwd"] = dict(
+            mrays_per_s=round(mrays, 3), wall_s=round(wall, 3),
+            loss=loss, note="full gradient (render/grad.py replay path)",
+        )
+        print(f"{'cornell-fwd-bwd':15s}: {mrays:8.2f} Mrays/s  ({wall:.2f}s)")
+    except Exception as e:
+        results["cornell-fwd-bwd"] = dict(error=str(e)[:200])
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(results, f, indent=2)
 

@@ -78,13 +78,20 @@ class PlanarPack(NamedTuple):
     mat: jnp.ndarray     # [N] i32
 
 
-class VolumePack(NamedTuple):
-    """Constant-density media bounded by (possibly transformed) boxes.
+VOL_BOX = 0
+VOL_SPHERE = 1
 
-    The reference wraps an arbitrary ``Hittable`` boundary (rt/volume.go:34)
-    but every scene uses axis-aligned or Y-rotated boxes; we represent the
-    boundary as an oriented box: rays are mapped to local space by a 3x4
-    affine ``world_to_local`` and slab-tested against [box_min, box_max].
+
+class VolumePack(NamedTuple):
+    """Constant-density media bounded by transformed boxes or spheres.
+
+    The reference wraps an arbitrary ``Hittable`` boundary
+    (rt/volume.go:34); every reference scene uses boxes, but the API also
+    admits spheres.  Rays are mapped to local space by a 3x4 affine
+    ``world_to_local``; the boundary there is either the [box_min,
+    box_max] slab box (kind VOL_BOX) or the UNIT sphere (kind VOL_SPHERE
+    — the affine bakes center/radius, an ellipsoid under non-uniform
+    scale, exceeding the reference's plain Sphere boundary).
     """
 
     world_to_local: jnp.ndarray  # [N, 3, 4]
@@ -92,6 +99,7 @@ class VolumePack(NamedTuple):
     box_max: jnp.ndarray         # [N, 3]
     neg_inv_density: jnp.ndarray  # [N] = -1/rho (rt/volume.go:17)
     mat: jnp.ndarray             # [N] i32 (isotropic phase material)
+    kind: jnp.ndarray            # [N] i32 VOL_BOX | VOL_SPHERE
 
 
 def empty_spheres():
@@ -113,6 +121,7 @@ def empty_volumes():
         jnp.zeros((0, 3), jnp.float32),
         jnp.zeros((0, 3), jnp.float32),
         jnp.zeros((0,), jnp.float32),
+        jnp.zeros((0,), jnp.int32),
         jnp.zeros((0,), jnp.int32),
     )
 
@@ -397,6 +406,21 @@ def sample_volumes(pack: VolumePack, o, d, t_min, t_surface, u_flight):
     tb = (pack.box_max[None] - o_l) * inv_d
     t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
     t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+
+    # Unit-sphere boundary in local space (kind VOL_SPHERE): quadratic
+    # roots replace the slab interval.
+    a_q = jnp.sum(d_l * d_l, axis=-1)
+    hb = jnp.sum(o_l * d_l, axis=-1)
+    c_q = jnp.sum(o_l * o_l, axis=-1) - 1.0
+    disc = hb * hb - a_q * c_q
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / jnp.maximum(a_q, 1e-20)
+    s0 = (-hb - sq) * inv_a
+    s1 = (-hb + sq) * inv_a
+    is_sph = pack.kind[None, :] == VOL_SPHERE
+    sph_ok = disc > 0.0
+    t0 = jnp.where(is_sph, jnp.where(sph_ok, s0, BIG), t0)
+    t1 = jnp.where(is_sph, jnp.where(sph_ok, s1, -BIG), t1)
     crosses = t1 > t0
 
     t0c = jnp.maximum(t0, t_min)           # rec1.T clamp (rt/volume.go:50-52)

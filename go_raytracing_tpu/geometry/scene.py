@@ -355,7 +355,23 @@ class SceneBuilder:
         mn, mx = np.minimum(a, b), np.maximum(a, b)
         inv = np.eye(4) if transform is None else transform.inverse().m
         mat = self.isotropic(color_or_tex)
-        self._vol.append((inv[:3, :4], mn, mx, -1.0 / float(density), mat))
+        self._vol.append((inv[:3, :4], mn, mx, -1.0 / float(density), mat,
+                          packs.VOL_BOX))
+        return len(self._vol) - 1
+
+    def volume_sphere(self, center, radius, density, color_or_tex) -> int:
+        """Constant-density medium in a sphere — the reference's Volume
+        accepts any Hittable boundary (rt/volume.go:34); this covers its
+        Sphere case.  Baked as a world->local affine mapping the sphere
+        to the unit ball (center/radius folded into the transform)."""
+        c = np.asarray(center, np.float64)
+        r = float(radius)
+        inv = np.zeros((3, 4))
+        inv[0, 0] = inv[1, 1] = inv[2, 2] = 1.0 / r
+        inv[:, 3] = -c / r
+        mat = self.isotropic(color_or_tex)
+        self._vol.append((inv, np.zeros(3), np.zeros(3),
+                          -1.0 / float(density), mat, packs.VOL_SPHERE))
         return len(self._vol) - 1
 
     # --- lights / environment --------------------------------------------
@@ -408,13 +424,14 @@ class SceneBuilder:
             planar = packs.empty_planar()
 
         if self._vol:
-            w2l, bmin, bmax, nid, m = zip(*self._vol)
+            w2l, bmin, bmax, nid, m, vkind = zip(*self._vol)
             volumes = packs.VolumePack(
                 jnp.asarray(np.stack(w2l).astype(f32)),
                 jnp.asarray(np.stack(bmin).astype(f32)),
                 jnp.asarray(np.stack(bmax).astype(f32)),
                 jnp.asarray(np.asarray(nid, f32)),
                 jnp.asarray(np.asarray(m, i32)),
+                jnp.asarray(np.asarray(vkind, i32)),
             )
         else:
             volumes = packs.empty_volumes()

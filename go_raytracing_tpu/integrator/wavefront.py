@@ -122,6 +122,18 @@ def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_fl
         tb = (pack.box_max[None, :, i] - o_l[i]) * inv
         t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
         t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+
+    # Unit-sphere boundaries (packs.VOL_SPHERE) in local space.
+    a_q = d_l[0] ** 2 + d_l[1] ** 2 + d_l[2] ** 2
+    hb = o_l[0] * d_l[0] + o_l[1] * d_l[1] + o_l[2] * d_l[2]
+    c_q = o_l[0] ** 2 + o_l[1] ** 2 + o_l[2] ** 2 - 1.0
+    disc = hb * hb - a_q * c_q
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / jnp.maximum(a_q, 1e-20)
+    is_sph = pack.kind[None, :] == packs.VOL_SPHERE
+    sph_ok = disc > 0.0
+    t0 = jnp.where(is_sph, jnp.where(sph_ok, (-hb - sq) * inv_a, BIG), t0)
+    t1 = jnp.where(is_sph, jnp.where(sph_ok, (-hb + sq) * inv_a, -BIG), t1)
     crosses = t1 > t0
 
     t0c = jnp.maximum(t0, t_min)           # rec1.T clamp (rt/volume.go:50-52)

@@ -70,7 +70,8 @@ def enabled() -> bool:
 
 
 def applicable(scene, max_prims: int = 1024) -> bool:
-    """Static: can this scene run through the megakernel?"""
+    """Static: can this scene run through the megakernel?  (Called
+    outside jit — choose_mega_mode's contract — so concrete arrays.)"""
     return (
         enabled()
         and not scene.meshes
@@ -80,6 +81,11 @@ def applicable(scene, max_prims: int = 1024) -> bool:
         and scene.spheres.radius.shape[0] <= max_prims
         and scene.n_volumes <= 4
         and scene.n_lights <= 8
+        # in-kernel volume_window is box-only; sphere-boundary media
+        # stay on the standard integrator
+        and (scene.n_volumes == 0
+             or not bool((np.asarray(scene.volumes.kind)
+                          == packs.VOL_SPHERE).any()))
     )
 
 

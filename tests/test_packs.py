@@ -218,3 +218,70 @@ def test_transform_order_matches_reference():
     p = xf.apply_point((1, 0, 0))
     # scale -> (2,0,0); rotY 90 -> (0,0,-2); translate -> (10,0,-2)
     np.testing.assert_allclose(p, [10, 0, -2], atol=1e-9)
+
+
+def test_sphere_volume_interval_analytic():
+    """VOL_SPHERE boundary: entry/exit are the unit-sphere quadratic
+    roots through the baked affine (center/radius folded in)."""
+    import go_raytracing_tpu as grt
+    from go_raytracing_tpu.geometry import packs
+
+    b = grt.SceneBuilder()
+    b.volume_sphere((0.0, 0.0, -5.0), 2.0, 0.5, (0.9, 0.9, 0.9))
+    scene = b.build()
+    pack = scene.volumes
+    assert int(pack.kind[0]) == packs.VOL_SPHERE
+
+    o = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 4.0, -5.0], [10.0, 10.0, 10.0]],
+                    jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, -1.0, 0.0], [1.0, 0.0, 0.0]],
+                    jnp.float32)
+    # u chosen so the free flight fits well inside (-1/rho * log u small)
+    u = jnp.full((3, 1), 0.9, jnp.float32)
+    t_vol, idx, hit = packs.sample_volumes(
+        pack, o, d, 1e-3, jnp.full((3,), 1e30, jnp.float32), u
+    )
+    t_vol = np.asarray(t_vol)
+    hit = np.asarray(hit)
+    # ray 0: enters at z=-3 -> t0=3; scatter at t0 + (-1/0.5)*ln(0.9)
+    expect0 = 3.0 + (-1.0 / 0.5) * np.log(0.9)
+    assert hit[0] and abs(t_vol[0] - expect0) < 1e-4
+    # ray 1: from above, enters at y=2 -> t0=2
+    expect1 = 2.0 + (-1.0 / 0.5) * np.log(0.9)
+    assert hit[1] and abs(t_vol[1] - expect1) < 1e-4
+    # ray 2: never crosses the sphere
+    assert not hit[2]
+
+
+def test_sphere_volume_soa_matches_rows_oracle():
+    """wavefront._sample_volumes (component SoA) must equal
+    packs.sample_volumes (rows oracle) for mixed box+sphere packs."""
+    import go_raytracing_tpu as grt
+    from go_raytracing_tpu.core.vec3 import V3
+    from go_raytracing_tpu.geometry import packs
+    from go_raytracing_tpu.integrator import wavefront
+
+    b = grt.SceneBuilder()
+    b.volume_box((-1, 0, -4), (1, 2, -2), 0.8, (0.5, 0.5, 0.5))
+    b.volume_sphere((2.0, 1.0, -3.0), 1.5, 0.4, (0.9, 0.9, 0.9))
+    scene = b.build()
+
+    rng = np.random.default_rng(11)
+    n = 512
+    o = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    u = rng.random((n, 2)).astype(np.float32)
+    t_surf = jnp.full((n,), 8.0, jnp.float32)
+
+    t_r, i_r, h_r = packs.sample_volumes(
+        scene.volumes, jnp.asarray(o), jnp.asarray(d), 1e-3, t_surf,
+        jnp.asarray(u))
+    t_s, i_s, h_s = wavefront._sample_volumes(
+        scene.volumes, V3.from_rows(jnp.asarray(o)),
+        V3.from_rows(jnp.asarray(d)), 1e-3, t_surf, jnp.asarray(u))
+    np.testing.assert_array_equal(np.asarray(h_r), np.asarray(h_s))
+    both = np.asarray(h_r)
+    np.testing.assert_allclose(np.asarray(t_s)[both], np.asarray(t_r)[both],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_r)[both],
+                                  np.asarray(i_s)[both])
