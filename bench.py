@@ -52,12 +52,25 @@ def bench_scene(name, cfg):
     chunk = min(pick_chunk_size(scene), cam.image_width * cam.image_height * spp)
     chunk = max(1024, (chunk // 1024) * 1024)
     float(grt.render(scene, cam, spp=spp, seed=0, chunk=chunk).sum())  # compile+warm
-    t0 = time.perf_counter()
-    accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk)
-    # Force full materialization: through the device tunnel,
-    # block_until_ready can return before execution completes.
-    float(accum.sum())
-    wall = time.perf_counter() - t0
+
+    def once():
+        t0 = time.perf_counter()
+        accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk)
+        # Force full materialization: through the device tunnel,
+        # block_until_ready can return before execution completes.
+        float(accum.sum())
+        return accum, time.perf_counter() - t0
+
+    # Best-of-N: the device tunnel adds tens of ms of per-dispatch jitter,
+    # which dominates sub-second configs; repeat until ~2 s of cumulative
+    # wall (>= 2 runs) and report the best run, like any microbenchmark.
+    accum, wall = once()
+    spent = wall
+    while spent < 2.0:
+        a2, w2 = once()
+        spent += w2
+        if w2 < wall:
+            accum, wall = a2, w2
     n_rays = cam.image_width * cam.image_height * spp
     return accum, n_rays / wall / 1e6, wall, cam
 
