@@ -44,8 +44,8 @@ def to_uint8(pixels01):
     return np.asarray(jnp.floor(256.0 * pixels01)).astype(np.uint8)
 
 
-def write_png(path, rgb_uint8):
-    """Write an 8-bit RGB PNG. ``rgb_uint8``: uint8 array [H, W, 3]."""
+def encode_png(rgb_uint8) -> bytes:
+    """Encode an 8-bit RGB PNG. ``rgb_uint8``: uint8 array [H, W, 3]."""
     arr = np.ascontiguousarray(rgb_uint8, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected [H, W, 3] uint8, got {arr.shape}")
@@ -57,14 +57,18 @@ def write_png(path, rgb_uint8):
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-    data = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path, rgb_uint8):
+    """Write an 8-bit RGB PNG. ``rgb_uint8``: uint8 array [H, W, 3]."""
     with open(path, "wb") as f:
-        f.write(data)
+        f.write(encode_png(rgb_uint8))
 
 
 def read_png(path):

@@ -413,12 +413,14 @@ def sample_volumes(pack: VolumePack, o, d, t_min, t_surface, u_flight):
     hb = jnp.sum(o_l * d_l, axis=-1)
     c_q = jnp.sum(o_l * o_l, axis=-1) - 1.0
     disc = hb * hb - a_q * c_q
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sph_ok = disc > 0.0
+    # sqrt'(0) = inf: masked lanes need a safe operand (0 * inf = NaN in
+    # the backward pass) — same double-where as intersect_spheres above.
+    sq = jnp.sqrt(jnp.where(sph_ok, disc, 1.0))
     inv_a = 1.0 / jnp.maximum(a_q, 1e-20)
     s0 = (-hb - sq) * inv_a
     s1 = (-hb + sq) * inv_a
     is_sph = pack.kind[None, :] == VOL_SPHERE
-    sph_ok = disc > 0.0
     t0 = jnp.where(is_sph, jnp.where(sph_ok, s0, BIG), t0)
     t1 = jnp.where(is_sph, jnp.where(sph_ok, s1, -BIG), t1)
     crosses = t1 > t0

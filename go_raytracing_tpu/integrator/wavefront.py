@@ -128,10 +128,12 @@ def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_fl
     hb = o_l[0] * d_l[0] + o_l[1] * d_l[1] + o_l[2] * d_l[2]
     c_q = o_l[0] ** 2 + o_l[1] ** 2 + o_l[2] ** 2 - 1.0
     disc = hb * hb - a_q * c_q
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sph_ok = disc > 0.0
+    # sqrt's derivative is infinite at 0: masked (disc <= 0) lanes must
+    # see a safe operand or the backward pass emits 0 * inf = NaN.
+    sq = jnp.sqrt(jnp.where(sph_ok, disc, 1.0))
     inv_a = 1.0 / jnp.maximum(a_q, 1e-20)
     is_sph = pack.kind[None, :] == packs.VOL_SPHERE
-    sph_ok = disc > 0.0
     t0 = jnp.where(is_sph, jnp.where(sph_ok, (-hb - sq) * inv_a, BIG), t0)
     t1 = jnp.where(is_sph, jnp.where(sph_ok, (-hb + sq) * inv_a, -BIG), t1)
     crosses = t1 > t0
@@ -1226,7 +1228,30 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         if decisions is not None:
             xs_dec = (decisions.which, decisions.idx, decisions.aux,
                       decisions.blk_a, decisions.blk_h)
-        carry, ys = lax.scan(bounce_step, init, (bounces, xs_dec))
+        # Backward-pass shape experiments (see DESIGN.md "replay backward"):
+        # GRT_SCAN_UNROLL=d unrolls the bounce scan (fuses across bounces,
+        # drops per-iteration residual round-trips); GRT_REMAT=1 wraps the
+        # step in jax.checkpoint (recompute instead of save residuals).
+        import os as _os
+
+        step = bounce_step
+        if differentiable and _os.environ.get("GRT_REMAT") == "1":
+            step = jax.checkpoint(bounce_step)
+        if _os.environ.get("GRT_SCAN_PY") == "1":
+            # Debug mode: Python loop instead of scan so jax_debug_nans
+            # reports the faulting op, not just "nan in scan".
+            carry, ys_l = init, []
+            for b in range(cam.max_depth):
+                dec_b = (None if xs_dec is None
+                         else tuple(x[b] for x in xs_dec))
+                carry, y = step(carry, (jnp.uint32(b), dec_b))
+                ys_l.append(y)
+            ys = (None if ys_l[0] is None else
+                  jax.tree_util.tree_map(lambda *z: jnp.stack(z), *ys_l))
+        else:
+            unroll = int(_os.environ.get("GRT_SCAN_UNROLL", "1"))
+            carry, ys = lax.scan(step, init, (bounces, xs_dec),
+                                 unroll=min(unroll, cam.max_depth))
     else:
         # Early termination: deep-depth configs (reference uses up to 50)
         # kill most lanes within a few bounces; stop when none survive.

@@ -112,3 +112,56 @@ def test_moving_sphere_blur_in_render():
     row = img[img.sum(axis=(1, 2)).argmax()]
     lit_cols = (row.sum(axis=-1) > 0.05).sum()
     assert lit_cols > 20  # smeared across many columns (static would be ~9)
+
+
+def test_live_display_serves_frames():
+    """LiveDisplay (the headless ebiten-window substitute): page, status
+    and frame endpoints serve; the PNG round-trips the published image."""
+    import json
+    import urllib.request
+
+    from go_raytracing_tpu.core import film
+    from go_raytracing_tpu.render.display import LiveDisplay
+
+    disp = LiveDisplay(port=0)  # ephemeral port
+    try:
+        img = np.linspace(0, 0.999, 6 * 5 * 3, dtype=np.float32)
+        img = img.reshape(5, 6, 3)
+        disp.update(img, pass_name="refining", done_spp=3, total_spp=8,
+                    mrays=1.25)
+
+        page = urllib.request.urlopen(disp.url, timeout=5).read()
+        assert b"hud" in page
+        status = json.loads(
+            urllib.request.urlopen(disp.url + "status", timeout=5).read()
+        )
+        assert status["pass_name"] == "refining"
+        assert status["seq"] == 0 and status["done_spp"] == 3
+        png = urllib.request.urlopen(
+            disp.url + "frame.png?seq=0", timeout=5
+        ).read()
+        import io
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            f.write(png)
+            f.flush()
+            back = film.read_png(f.name)
+        np.testing.assert_array_equal(back, film.to_uint8(img))
+    finally:
+        disp.close()
+
+
+def test_interactive_cli_slicing_identity():
+    """The CLI's -interactive SPP-sliced refinement must reproduce the
+    one-shot image bit-exactly (counter RNG; same identity as resume)."""
+    scene, cam = _scene(), _cam()
+    full = np.asarray(grt.render(scene, cam, spp=8, seed=5))
+    accum, done, step = None, 0, 1
+    while done < 8:
+        n = min(step, 8 - done)
+        accum = grt.render(scene, cam, spp=n, sample_offset=done,
+                           accum=accum, seed=5)
+        done += n
+        step = min(step * 2, max(8 // 8, 1))
+    np.testing.assert_allclose(np.asarray(accum), full, rtol=1e-5, atol=1e-5)
