@@ -38,14 +38,10 @@ from ..parallel.sharding import apply_params, trainable_params
 from . import renderer as rmod
 
 
-@partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth"))
-def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
-               spp: int, chunk: int, max_depth: int):
-    """Parameter gradient of <chunk radiance, g_fb> for one ray chunk.
-
-    Mirrors renderer._render_chunk's ray-id -> pixel mapping exactly, so
-    summing over all chunks covers every (pixel, sample) once."""
+def _chunk_rays(scene: Scene, cam: Camera, ray_start, seed, *,
+                spp: int, chunk: int, max_depth: int):
+    """Mirror renderer._render_chunk's ray-id -> pixel mapping exactly, so
+    iterating over all chunks covers every (pixel, sample) once."""
     w, h = cam.image_width, cam.image_height
     tiled = rmod.scene_tiled(scene)
     _, _, n_virt = rmod.ray_layout(w, h, tiled)
@@ -58,17 +54,49 @@ def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
     valid = valid & in_bounds
     pixel = (py * w + jnp.minimum(px, w - 1)).astype(jnp.uint32)
     pixel = jnp.minimum(pixel, w * h - 1)
-    stream = ids
 
     cam2 = dataclasses.replace(cam, max_depth=max_depth)
-    o, d, tm = generate_rays(cam2, px, py, stream, seed)
+    o, d, tm = generate_rays(cam2, px, py, ids, seed)
+    return cam2, o, d, tm, ids, pixel, valid
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth"),
+         donate_argnames=("accum",))
+def _record_chunk(scene: Scene, cam: Camera, accum, ray_start, seed, *,
+                  spp: int, chunk: int, max_depth: int):
+    """Pass-1 step: trace one chunk on the fast forward WITH decision
+    recording, scatter its radiance into the framebuffer, and return the
+    per-bounce discrete sweep outcomes for the chunk's later VJP."""
+    cam2, o, d, tm, stream, pixel, valid = _chunk_rays(
+        scene, cam, ray_start, seed, spp=spp, chunk=chunk,
+        max_depth=max_depth)
+    radiance, dec = wavefront.trace(
+        scene, cam2, o, d, tm, stream, seed,
+        differentiable=False, record=True,
+    )
+    rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
+    return accum.at[pixel].add(rows), dec
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth"))
+def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
+               spp: int, chunk: int, max_depth: int, dec=None):
+    """Parameter gradient of <chunk radiance, g_fb> for one ray chunk.
+
+    ``dec``: the chunk's recorded sweep outcomes from :func:`_record_chunk`
+    (pass 1).  When None, a record pass runs here (re-tracing the chunk) —
+    the fallback when decisions were too big to keep resident."""
+    cam2, o, d, tm, stream, pixel, valid = _chunk_rays(
+        scene, cam, ray_start, seed, spp=spp, chunk=chunk,
+        max_depth=max_depth)
     cot = jnp.where(valid[:, None], g_fb_flat[pixel], 0.0)  # [chunk, 3]
 
     import os
 
     use_replay = os.environ.get("GRT_NO_REPLAY") != "1"
-    dec = None
-    if use_replay:
+    if use_replay and dec is None:
         # Record pass: fast non-differentiable forward, keeping only the
         # per-bounce discrete sweep outcomes; the replayed backward then
         # skips every intersection/shadow sweep (wavefront._winner_t).
@@ -76,6 +104,8 @@ def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
             scene, cam2, o, d, tm, stream, seed,
             differentiable=False, record=True,
         )
+    elif not use_replay:
+        dec = None
 
     def inner(params):
         s = apply_params(scene, params)
@@ -101,6 +131,8 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     framebuffer (see module docstring) and forward/backward replay the
     same RNG streams.
     """
+    import os
+
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
     w, h = cam.image_width, cam.image_height
@@ -109,29 +141,59 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         # gradient residuals (scan carries) cost ~2x the forward: halve
         chunk = max(rmod.pick_chunk_size(scene) // 2, 1024)
         chunk = min(chunk, max(1024, -(-n_virt * spp // 1024) * 1024))
+    total = n_virt * spp
+    n_chunks = -(-total // chunk)
 
-    # Pass 1: forward framebuffer on the fast path (identical image).
-    fb = rmod.render(scene, cam, spp=spp, max_depth=max_depth, seed=seed,
-                     chunk=chunk, stats=stats)
-    n = w * h * 3
+    # Keep pass-1 decisions resident so pass 2 never re-traces a ray —
+    # unless they would not fit (3 x i32 + 2 x bool per (ray, bounce)).
+    dec_bytes = n_chunks * chunk * max_depth * 14
+    budget = int(float(os.environ.get("GRT_DEC_BUDGET", 6e9)))
+    keep_dec = (dec_bytes <= budget
+                and os.environ.get("GRT_NO_REPLAY") != "1")
+
     target = jnp.asarray(target, jnp.float32).reshape(h, w, 3)
-    resid = fb / spp - target
-    loss = jnp.mean(resid * resid)
-    g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
-
-    # Pass 2: accumulate parameter VJPs chunk by chunk.
+    n = w * h * 3
     grads = jax.tree_util.tree_map(
         jnp.zeros_like, trainable_params(scene)
     )
-    total = n_virt * spp
-    pos = 0
-    n_chunks = 0
-    while pos < total:
-        g = _chunk_vjp(scene, cam, g_fb_flat, jnp.uint32(pos), seed,
-                       spp=spp, chunk=chunk, max_depth=max_depth)
-        grads = jax.tree_util.tree_map(jnp.add, grads, g)
-        pos += chunk
-        n_chunks += 1
+
+    if keep_dec:
+        # Pass 1: record forward (radiance identical to the fast render;
+        # tested) + per-chunk decisions.
+        flat = jnp.zeros((w * h, 3), jnp.float32)
+        decs = []
+        pos = 0
+        while pos < total:
+            flat, dec = _record_chunk(scene, cam, flat, jnp.uint32(pos),
+                                      seed, spp=spp, chunk=chunk,
+                                      max_depth=max_depth)
+            decs.append(dec)
+            pos += chunk
+        fb = flat.reshape(h, w, 3)
+        resid = fb / spp - target
+        loss = jnp.mean(resid * resid)
+        g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
+
+        # Pass 2: replay VJPs — every sweep outcome is already known.
+        for i, dec in enumerate(decs):
+            g = _chunk_vjp(scene, cam, g_fb_flat, jnp.uint32(i * chunk),
+                           seed, spp=spp, chunk=chunk, max_depth=max_depth,
+                           dec=dec)
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+            decs[i] = None  # free the chunk's decisions as consumed
+    else:
+        # Fallback: fast framebuffer pass, then record+VJP per chunk.
+        fb = rmod.render(scene, cam, spp=spp, max_depth=max_depth,
+                         seed=seed, chunk=chunk, stats=stats)
+        resid = fb / spp - target
+        loss = jnp.mean(resid * resid)
+        g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
+        pos = 0
+        while pos < total:
+            g = _chunk_vjp(scene, cam, g_fb_flat, jnp.uint32(pos), seed,
+                           spp=spp, chunk=chunk, max_depth=max_depth)
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+            pos += chunk
     if stats is not None:
         stats.chunks += n_chunks
     return loss, grads
