@@ -1076,23 +1076,37 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
     # decides here, at trace time.
     from ..ops import pallas_wavefront as mega
 
-    if record or decisions is not None:
-        mega_mode = "off"  # record needs per-bounce ys; replay skips sweeps
+    if decisions is not None:
+        mega_mode = "off"  # replay skips the sweeps entirely
     if mega_mode is None:
         mega_mode = choose_mega_mode(scene, cam, r, differentiable)
+    if record and mega_mode == "split":
+        mega_mode = "off"  # decision recording is single-phase only
     if mega_mode != "off":
-        radiance, miss_dir, miss_tp, missed, miss_primary = mega.trace_megakernel(
-            scene, cam, o, d, tm, stream, seed, split=(mega_mode == "split")
+        res = mega.trace_megakernel(
+            scene, cam, o, d, tm, stream, seed,
+            split=(mega_mode == "split"), record=record,
         )
+        if record:
+            radiance, miss_dir, miss_tp, missed, miss_primary, dk = res
+        else:
+            radiance, miss_dir, miss_tp, missed, miss_primary = res
         safe_dir = V3.select(
             missed, miss_dir, V3.full((r,), (0.0, 0.0, 1.0), f32)
         )
         miss_col = _miss_radiance(scene, cam, safe_dir, miss_primary)
-        out = radiance + V3.select(
+        rad = radiance + V3.select(
             missed, miss_tp * miss_col, V3.zeros((r,), f32)
         )
         # megakernel scenes have no meshes (mega.applicable) -> no frontier
-        return (out, dict(mesh_overflow=jnp.int32(0))) if with_stats else out
+        out = (rad,)
+        if with_stats:
+            out = out + (dict(mesh_overflow=jnp.int32(0)),)
+        if record:
+            which, idx, blk_a, blk_h = dk
+            out = out + (Decisions(which, idx, jnp.zeros_like(idx),
+                                   blk_a, blk_h),)
+        return out if len(out) > 1 else out[0]
 
     def bounce_step(carry, xs):
         bounce, dec = xs

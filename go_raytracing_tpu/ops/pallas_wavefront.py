@@ -241,11 +241,12 @@ def _pcg3d(x, y, z):
 
 
 def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
-                max_depth, resume=False, use_hdri=False):
+                max_depth, resume=False, use_hdri=False, rec_dec=False):
     use_nee = n_lights > 0
     f24 = np.float32(2.0 ** -24)
 
     def kernel(count_ref, seed_ref, *refs):
+        dref = None
         if resume:
             # Resumable variant: full path state in/out + [start, end)
             # bounce bounds, so the caller can re-sort surviving rays into
@@ -258,6 +259,15 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
              mdxi, mdyi, mdzi, mtri, mtgi, mtbi,
              rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl,
              oox, ooy, ooz, odx, ody, odz, otx, oty, otz) = refs
+        elif rec_dec:
+            # Decision-recording variant (replay gradients): also emits,
+            # per bounce, the packed discrete sweep outcome
+            # hitk | winner_idx << 2 | blk_area << 20 | blk_hdri << 21
+            # (wavefront.Decisions semantics; aux is 0 — no meshes here).
+            (pt, st, sb, vt, lt,
+             *hdri_refs,
+             ox, oy, oz, dx, dy, dz, tmr, stream_ref,
+             rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl, dref) = refs
         else:
             (pt, st, sb, vt, lt,
              *hdri_refs,
@@ -300,9 +310,12 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
         N_GEO = 7   # pn(3) sc(3) rad2
         N_MAT = 7 + (7 if has_checker else 0)
 
-        def planar_sweep(o, d, t_best, hitk, attrs, record):
+        def planar_sweep(o, d, t_best, hitk, attrs, record, hidx=None):
             def body(j, carry):
-                t_best, hitk, attrs = carry
+                if hidx is None:
+                    t_best, hitk, attrs = carry
+                else:
+                    t_best, hitk, attrs, hx = carry
                 nx_j = pt[0, j]; ny_j = pt[1, j]; nz_j = pt[2, j]
                 denom = d[0] * nx_j + d[1] * ny_j + d[2] * nz_j
                 not_par = jnp.abs(denom) >= EPS_PARALLEL
@@ -338,17 +351,25 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                         vals += [pt[22, j], pt[23, j], pt[24, j],
                                  pt[25, j], pt[26, j], pt[27, j], pt[28, j]]
                     attrs = [jnp.where(upd, v + zero, a_) for v, a_ in zip(vals, attrs)]
-                return t_best, hitk, attrs
+                if hidx is None:
+                    return t_best, hitk, attrs
+                hx = jnp.where(upd, j, hx)
+                return t_best, hitk, attrs, hx
 
+            init = ((t_best, hitk, attrs) if hidx is None
+                    else (t_best, hitk, attrs, hidx))
             return jax.lax.fori_loop(0, pt.shape[1] if n_planar else 0, body,
-                                     (t_best, hitk, attrs))
+                                     init)
 
-        def sphere_sweep(o, d, tmv, t_best, hitk, attrs, record):
+        def sphere_sweep(o, d, tmv, t_best, hitk, attrs, record, hidx=None):
             a_coef = dot3(d, d)
             inv_a = 1.0 / a_coef
 
             def body(j, carry):
-                t_best, hitk, attrs = carry
+                if hidx is None:
+                    t_best, hitk, attrs = carry
+                else:
+                    t_best, hitk, attrs, hx = carry
                 ctx = st[0, j] + tmv * st[3, j]
                 cty = st[1, j] + tmv * st[4, j]
                 ctz = st[2, j] + tmv * st[5, j]
@@ -376,11 +397,16 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                  st[17, j], st[18, j], st[19, j], st[20, j]]
                     vals = new_geo + [zero + v for v in matv]
                     attrs = [jnp.where(upd, v, a_) for v, a_ in zip(vals, attrs)]
-                return t_best, hitk, attrs
+                if hidx is None:
+                    return t_best, hitk, attrs
+                hx = jnp.where(upd, j, hx)
+                return t_best, hitk, attrs, hx
 
+            init = ((t_best, hitk, attrs) if hidx is None
+                    else (t_best, hitk, attrs, hidx))
             if not n_sph_seg:
                 return jax.lax.fori_loop(0, st.shape[1] if n_sphere else 0,
-                                         body, (t_best, hitk, attrs))
+                                         body, init)
 
             # Segment-culled sweep: spheres are Morton-sorted, so each
             # 32-column segment is spatially tight; skip segments whose
@@ -411,8 +437,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 return jax.lax.cond(seg_any(carry[0]), do_seg,
                                     lambda c_: c_, carry)
 
-            return jax.lax.fori_loop(0, n_sph_seg, seg_body,
-                                     (t_best, hitk, attrs))
+            return jax.lax.fori_loop(0, n_sph_seg, seg_body, init)
 
         def volume_window(o, d, vi):
             olc, dlc = [], []
@@ -479,9 +504,16 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             # paying full sweeps for 4095 dead lanes).
             t = jnp.where(alive, zero + BIG, zero)
             hitk = (zero_u & np.uint32(0)).astype(jnp.int32)
+            hidx = hitk if rec_dec else None
             attrs = [zero * 1.0 for _ in range(N_GEO + N_MAT)]
-            t, hitk, attrs = planar_sweep(o, d, t, hitk, attrs, True)
-            t, hitk, attrs = sphere_sweep(o, d, tm, t, hitk, attrs, True)
+            if rec_dec:
+                t, hitk, attrs, hidx = planar_sweep(
+                    o, d, t, hitk, attrs, True, hidx)
+                t, hitk, attrs, hidx = sphere_sweep(
+                    o, d, tm, t, hitk, attrs, True, hidx)
+            else:
+                t, hitk, attrs = planar_sweep(o, d, t, hitk, attrs, True)
+                t, hitk, attrs = sphere_sweep(o, d, tm, t, hitk, attrs, True)
             hit = (hitk > 0) & alive
 
             is_vol = false_v
@@ -494,6 +526,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 hit = hit | win
                 is_vol = is_vol | win
                 hitk = jnp.where(win, 3, hitk)
+                if rec_dec:
+                    hidx = jnp.where(win, vi, hidx)
                 # inject volume material constants
                 vals = [zero, zero, zero, zero, zero, zero, zero + 1.0,
                         vt[19, vi] + zero, vt[20, vi] + zero, zero, zero + 1.0,
@@ -601,6 +635,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 rad[c] = rad[c] + jnp.where(emit_mask, tp[c] * albedo[c], 0.0)
 
             use_mis = (alive & hit & is_lam) if use_nee else false_v
+            blk_a = blk_h = false_v
             if use_nee:
                 up, _, _ = uniform3(bounce_u, rngmod.LIGHT_PICK)
                 li_f = jnp.minimum(jnp.floor(up * float(n_lights)),
@@ -621,6 +656,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 # tests skip them (same trick as the dead-lane closest hit).
                 shadow_cap = jnp.where(use_mis & facing, dist - EPS_HIT, zero)
                 blocked = occluded(p, ld, shadow_cap, bounce_u, 65)
+                blk_a = blocked
                 cos_l = jnp.abs(-(lsel[9] * ld[0] + lsel[10] * ld[1] + lsel[11] * ld[2]))
                 grazing = cos_l < 1e-3
                 pdf_l = (dist * dist) / jnp.maximum(cos_l * lsel[12], 1e-20)
@@ -656,6 +692,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 shadow_cap_h = jnp.where(use_mis & facing_h,
                                          zero + np.float32(3.0e38), zero)
                 blocked_h = occluded(p, hd, shadow_cap_h, bounce_u, 66)
+                blk_h = blocked_h
                 pdf_bh = jnp.maximum(cos_h, 0.0) * np.float32(1.0 / np.pi)
                 weight_h = pdf_h / jnp.maximum(pdf_h + pdf_bh, 1e-20)
                 scale_h = cos_h / jnp.maximum(pdf_h, 1e-12) * weight_h
@@ -664,6 +701,18 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     contrib = jnp.minimum(hem[c] * atten[c] * scale_h,
                                           FIREFLY)
                     rad[c] = rad[c] + jnp.where(ok_h, tp[c] * contrib, 0.0)
+
+            if rec_dec:
+                # Pack this bounce's discrete outcome: hitk (2b) |
+                # winner idx (18b) | blk_area (1b) | blk_hdri (1b).  The
+                # kernel's winner/blocked semantics match the scan-path
+                # record exactly (same RNG, same tie order), so the
+                # replay backward is interchangeable.
+                pk = jnp.where(hit, hitk, 0)
+                pk = pk | (jnp.where(hit, hidx, 0) << 2)
+                pk = pk | jnp.where(blk_a, 1 << 20, 0)
+                pk = pk | jnp.where(blk_h, 1 << 21, 0)
+                dref[bounce_u.astype(jnp.int32)] = pk
 
             alive = alive & hit & scattered
             for c in range(3):
@@ -711,6 +760,11 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 [zero * 1.0, zero * 1.0, zero * 1.0],
                 zero * 1.0, zero * 1.0,
             )
+        if rec_dec:
+            # Blocks can exit the bounce loop early: bounces never reached
+            # must read as HIT_NONE (= 0), not garbage.
+            for b in range(max_depth):
+                dref[b] = jnp.zeros_like(dref[b])
         state = jax.lax.while_loop(cond, bounce_body, state)
         (_, o, d, tp, rad, alive_f, allow_f, m_dir, m_tp, missed_f, m_prim_f) = state
         missed = missed_f > 0.5
@@ -747,10 +801,11 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 @functools.partial(
     jax.jit,
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
-                     "n_lights", "has_checker", "max_depth"),
+                     "n_lights", "has_checker", "max_depth", "rec_dec"),
 )
 def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
-          n_sph_seg, n_vol, n_lights, has_checker, max_depth, hdri_rows=None):
+          n_sph_seg, n_vol, n_lights, has_checker, max_depth, hdri_rows=None,
+          rec_dec=False):
     from ..core.vec3 import V3
 
     oc = [o.x, o.y, o.z]
@@ -784,26 +839,40 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
                                   lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
+    dec_spec, dec_shape = [], []
+    if rec_dec:
+        dec_spec = [pl.BlockSpec((max_depth, BLOCK_ROWS, LANES),
+                                 lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)]
+        dec_shape = [jax.ShapeDtypeStruct((max_depth, rows, LANES),
+                                          jnp.int32)]
+
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
-                    has_checker, max_depth, use_hdri=use_hdri),
+                    has_checker, max_depth, use_hdri=use_hdri,
+                    rec_dec=rec_dec),
         grid=grid,
         in_specs=[smem] * 7 + hdri_spec + [ray_spec] * 8,
-        out_specs=[out_spec] * 10,
+        out_specs=[out_spec] * 10 + dec_spec,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 9
-        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] + dec_shape,
         interpret=INTERPRET,
     )(
         jnp.asarray([n_planar, n_sphere], jnp.int32),
         jnp.asarray([seed], jnp.uint32),
         pt, st, sb, vt, lt, *hdri_in, *rays,
     )
-    flat = [x.reshape(-1)[:r] for x in outs]
+    flat = [x.reshape(-1)[:r] for x in outs[:10]]
     rad = V3(flat[0], flat[1], flat[2])
     m_dir = V3(flat[3], flat[4], flat[5])
     m_tp = V3(flat[6], flat[7], flat[8])
     missed = (flat[9] & 1) == 1
     m_primary = (flat[9] & 2) == 2
+    if rec_dec:
+        pk = outs[10].reshape(max_depth, -1)[:, :r]
+        dec = (pk & 3, (pk >> 2) & 0x3FFFF,
+               ((pk >> 20) & 1) == 1, ((pk >> 21) & 1) == 1)
+        return rad, m_dir, m_tp, missed, m_primary, dec
     return rad, m_dir, m_tp, missed, m_primary
 
 
@@ -915,12 +984,18 @@ def _phase_state_sort(flat, alive):
     return tuple(out), inv
 
 
-def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None):
+def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
+                     record=False):
     """Full bounce loop via the megakernel.  Returns (radiance V3,
     miss_dir V3, miss_tp V3, missed, miss_primary) — the caller applies
     the deferred miss shader.  ``split=None`` decides the phase split
     from the SPLIT_* thresholds; pass an explicit bool to pin it (and
-    keep the decision in the caller's jit cache key)."""
+    keep the decision in the caller's jit cache key).
+
+    ``record=True`` (single-phase only): appends the per-bounce discrete
+    sweep outcomes as a (which, idx, blk_a, blk_h) tuple of [D, R] arrays
+    — the megakernel-speed record pass for replay gradients
+    (render/grad.py); semantics identical to the scan-path record."""
     from ..core.vec3 import V3
 
     sg = jax.lax.stop_gradient
@@ -956,6 +1031,13 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None):
 
     if split is None:
         split = cam.max_depth >= SPLIT_DEPTH_MIN and r >= SPLIT_R_MIN
+    if record:
+        assert not split, "record mode is single-phase only"
+        return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
+                     stream,
+                     hdri_rows=(hdri_rows_for(stream, 0, cam.max_depth)
+                                if use_hdri else None),
+                     rec_dec=True, **statics)
     if not split:
         return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
                      stream,

@@ -60,11 +60,21 @@ def _chunk_rays(scene: Scene, cam: Camera, ray_start, seed, *,
     return cam2, o, d, tm, ids, pixel, valid
 
 
+def _record_mega_mode(scene: Scene, cam: Camera, chunk: int,
+                      max_depth: int) -> str:
+    """Static megakernel decision for RECORD traces, made outside jit
+    (wavefront.choose_mega_mode's contract).  Recording is single-phase
+    only, so 'split' falls back to the scan-path record."""
+    cam_d = dataclasses.replace(cam, max_depth=max_depth)
+    mode = wavefront.choose_mega_mode(scene, cam_d, chunk, False)
+    return "off" if mode == "split" else mode
+
+
 @partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth"),
+         static_argnames=("cam", "spp", "chunk", "max_depth", "mega_mode"),
          donate_argnames=("accum",))
 def _record_chunk(scene: Scene, cam: Camera, accum, ray_start, seed, *,
-                  spp: int, chunk: int, max_depth: int):
+                  spp: int, chunk: int, max_depth: int, mega_mode: str):
     """Pass-1 step: trace one chunk on the fast forward WITH decision
     recording, scatter its radiance into the framebuffer, and return the
     per-bounce discrete sweep outcomes for the chunk's later VJP."""
@@ -73,16 +83,17 @@ def _record_chunk(scene: Scene, cam: Camera, accum, ray_start, seed, *,
         max_depth=max_depth)
     radiance, dec = wavefront.trace(
         scene, cam2, o, d, tm, stream, seed,
-        differentiable=False, record=True,
+        differentiable=False, record=True, mega_mode=mega_mode,
     )
     rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
     return accum.at[pixel].add(rows), dec
 
 
 @partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth"))
+         static_argnames=("cam", "spp", "chunk", "max_depth", "mega_mode"))
 def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
-               spp: int, chunk: int, max_depth: int, dec=None):
+               spp: int, chunk: int, max_depth: int, dec=None,
+               mega_mode: str = "off"):
     """Parameter gradient of <chunk radiance, g_fb> for one ray chunk.
 
     ``dec``: the chunk's recorded sweep outcomes from :func:`_record_chunk`
@@ -102,7 +113,7 @@ def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
         # skips every intersection/shadow sweep (wavefront._winner_t).
         _, dec = wavefront.trace(
             scene, cam2, o, d, tm, stream, seed,
-            differentiable=False, record=True,
+            differentiable=False, record=True, mega_mode=mega_mode,
         )
     elif not use_replay:
         dec = None
@@ -157,6 +168,7 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         jnp.zeros_like, trainable_params(scene)
     )
 
+    rec_mode = _record_mega_mode(scene, cam, chunk, max_depth)
     if keep_dec:
         # Pass 1: record forward (radiance identical to the fast render;
         # tested) + per-chunk decisions.
@@ -166,7 +178,8 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         while pos < total:
             flat, dec = _record_chunk(scene, cam, flat, jnp.uint32(pos),
                                       seed, spp=spp, chunk=chunk,
-                                      max_depth=max_depth)
+                                      max_depth=max_depth,
+                                      mega_mode=rec_mode)
             decs.append(dec)
             pos += chunk
         fb = flat.reshape(h, w, 3)
@@ -191,7 +204,8 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         pos = 0
         while pos < total:
             g = _chunk_vjp(scene, cam, g_fb_flat, jnp.uint32(pos), seed,
-                           spp=spp, chunk=chunk, max_depth=max_depth)
+                           spp=spp, chunk=chunk, max_depth=max_depth,
+                           mega_mode=rec_mode)
             grads = jax.tree_util.tree_map(jnp.add, grads, g)
             pos += chunk
     if stats is not None:

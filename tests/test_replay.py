@@ -141,3 +141,58 @@ def test_replay_grad_render_exact():
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(b_, a, rtol=2e-3, atol=2e-4 * scale,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("name", ["cornell", "combined"])
+def test_megakernel_record_matches_scan_record(name):
+    """The megakernel's decision recording (rec_dec) must be
+    interchangeable with the scan-path record: same radiance, and the
+    replay gradients driven by either decision set must agree."""
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    scene, cam = _scene(name)
+    o, d, tm, stream = _rays(cam)
+    params = trainable_params(scene)
+
+    mega.INTERPRET = True
+    try:
+        assert mega.applicable(scene)
+        rad_m, dec_m = wavefront.trace(
+            scene, cam, o, d, tm, stream, 0,
+            differentiable=False, record=True, mega_mode="single",
+        )
+    finally:
+        mega.INTERPRET = False
+    rad_s, dec_s = wavefront.trace(
+        scene, cam, o, d, tm, stream, 0,
+        differentiable=False, record=True, mega_mode="off",
+    )
+    np.testing.assert_allclose(
+        np.asarray(rad_m.rows()), np.asarray(rad_s.rows()),
+        rtol=1e-3, atol=2e-3,
+    )
+    # Discrete outcomes must match almost everywhere (exact winner ties
+    # may break differently between sweep orders).
+    for f in ("which", "idx", "blk_a", "blk_h"):
+        a = np.asarray(getattr(dec_m, f))
+        b_ = np.asarray(getattr(dec_s, f))
+        assert (a == b_).mean() > 0.999, f"{name}: {f} mismatch"
+
+    def loss_with(dec):
+        def loss(p):
+            s = apply_params(scene, p)
+            rad = wavefront.trace(s, cam, o, d, tm, stream, 0,
+                                  decisions=dec)
+            return jnp.sum(rad.rows() * 1e-3)
+        return loss
+
+    v0, g0 = jax.value_and_grad(loss_with(dec_s))(params)
+    v1, g1 = jax.value_and_grad(loss_with(dec_m))(params)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=1e-6)
+    for k in g0:
+        a, b_ = np.asarray(g0[k]), np.asarray(g1[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(
+            b_, a, rtol=2e-3, atol=2e-4 * scale,
+            err_msg=f"{name}: replay grad mismatch for {k}",
+        )
