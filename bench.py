@@ -54,10 +54,14 @@ def bench_scene(name, cfg):
     float(grt.render(scene, cam, spp=spp, seed=0, chunk=chunk).sum())  # compile+warm
 
     def once():
+        # ONE host<->device roundtrip per run: render enqueues its chunk
+        # programs async (sync=False) and the float() of the device-side
+        # checksum both forces full materialization (block_until_ready
+        # can return early through the tunnel) and is the only fetch —
+        # each extra roundtrip costs ~28 ms of tunnel latency.
         t0 = time.perf_counter()
-        accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk)
-        # Force full materialization: through the device tunnel,
-        # block_until_ready can return before execution completes.
+        accum = grt.render(scene, cam, spp=spp, seed=0, chunk=chunk,
+                           sync=False)
         float(accum.sum())
         return accum, time.perf_counter() - t0
 

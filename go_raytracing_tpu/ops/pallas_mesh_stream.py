@@ -78,7 +78,7 @@ BLOCK = GROUP * N_GROUPS     # 1024 rays per grid step
 TILE = 128                   # triangles per tile (tris on lanes)
 SEG_TILES = 16               # tiles per cull segment (bitmask word)
 SEG = TILE * SEG_TILES       # 2048 triangles per segment
-ROWS = 16                    # tri rows (9 used: v0/e1/e2 xyz), 8-aligned
+ROWS = 16                    # tri rows (10 used: v0/e1/e2 xyz + orig id)
 
 MAX_INSTANCES = 31           # instance bitmask fits one i32
 MAXT_INST = 896              # cull slots per (block, instance); a slot
@@ -103,21 +103,62 @@ INTERPRET = False
 # Host-side build
 # -----------------------------------------------------------------------------
 
+def aligned_stream_order(lo, hi, tile=TILE):
+    """TILE-aligned recursive median split: every 128-tri tile is one
+    exact subtree, so tile AABBs are minimal for the topology.
+
+    The implicit-BVH leaf order (geometry/mesh_bvh.py) has variable-size
+    leaves, so 128-consecutive-tri tiles straddle subtree boundaries —
+    measured 2.8x larger mean tile surface area and 2.2x more per-ray
+    tile crossings on the 112K-tri cornell-lucy stand-in
+    (scripts/tile_order_experiment.py).  Phase-B sweep count tracks
+    crossings, so the aligned order is the stream kernel's tiling; the
+    kernel reports winners by ORIGINAL id (row 9 of the tile table)."""
+    n = lo.shape[0]
+    centroid = (lo + hi) * 0.5
+    order = np.arange(n)
+    segs = [(0, n)]
+    while segs:
+        s, e = segs.pop()
+        cnt = e - s
+        if cnt <= tile:
+            continue
+        c = centroid[order[s:e]]
+        ext = c.max(axis=0) - c.min(axis=0)
+        axis = int(np.argmax(ext))
+        k = c[:, axis].argsort(kind="stable")
+        order[s:e] = order[s:e][k]
+        mid = s + (-(-cnt // tile) // 2) * tile
+        segs.append((s, mid))
+        segs.append((mid, e))
+    return order
+
+
 def build_stream_tables(v0, e1, e2):
     """NumPy: ([NT, ROWS, TILE] tile-major tri rows, [S, 6, SEG_TILES]
     per-SLOT AABBs, n_seg).
 
-    Triangles are in implicit-BVH leaf order (geometry/mesh_bvh.py), so
-    each 128-tri tile is a spatially compact subtree.  A cull SLOT is
-    ``tps = ceil(n_tiles / MAXT_INST)`` adjacent tiles (1 for <= 112K
-    tris), so the per-(block, instance) slot bitmask always covers the
-    WHOLE mesh — overflow is structurally impossible at any size the
-    VMEM table admits (leaf-order adjacency keeps the grouped boxes
-    compact).  Padding triangles are zero (degenerate, never pass
-    Moller-Trumbore); padding slot boxes are +BIG/-BIG so every slab
-    test fails.
+    Triangles are re-clustered into TILE-aligned subtrees
+    (:func:`aligned_stream_order`); row 9 of each tile carries the
+    triangle's ORIGINAL (implicit-BVH leaf order) index as f32 — exact
+    to 2^24, far above MAX_STREAM_TRIS — so the kernel's winner ids stay
+    in the order every other consumer (records, replay decisions, the
+    frontier oracle) uses.  A cull SLOT is ``tps = ceil(n_tiles /
+    MAXT_INST)`` adjacent tiles (1 for <= 112K tris), so the
+    per-(block, instance) slot bitmask always covers the WHOLE mesh —
+    overflow is structurally impossible at any size the VMEM table
+    admits (aligned-split adjacency keeps the grouped boxes compact).
+    Padding triangles are zero (degenerate, never pass Moller-Trumbore);
+    padding slot boxes are +BIG/-BIG so every slab test fails.
     """
     t = v0.shape[0]
+    if t:
+        lo0 = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+        hi0 = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+        perm = aligned_stream_order(lo0, hi0)
+        v0, e1, e2 = v0[perm], e1[perm], e2[perm]
+    else:
+        perm = np.zeros((0,), np.int64)
     nt_raw = -(-t // TILE)
     tps = max(1, -(-nt_raw // MAXT_INST))   # tiles per cull slot
     slot_tris = TILE * tps
@@ -128,6 +169,7 @@ def build_stream_tables(v0, e1, e2):
 
     rows9 = np.zeros((ROWS, tpad), np.float32)
     rows9[:9, :t] = np.concatenate([v0.T, e1.T, e2.T], axis=0)
+    rows9[9, :t] = perm.astype(np.float32)  # original (leaf-order) ids
     # [ROWS, NT, TILE] -> [NT, ROWS, TILE]; ascontiguousarray materializes
     # (assignment into a reshape of a transposed view is silently lost)
     tri = np.ascontiguousarray(
@@ -307,8 +349,11 @@ def _sweep_tile(tri_ref, tid, o_l, d_l, t_cap, best_t, best_id, ii,
     ok = (~parallel & (u >= 0.0) & (u <= 1.0)
           & (v >= 0.0) & (u + v <= 1.0)
           & (tc >= t_min) & (tc < t_cap) & (tc < best_t))
-    lane = jax.lax.broadcasted_iota(jnp.int32, best_t.shape, 1)
-    pid = ((tid * TILE + lane) << 5) | ii
+    # Row 9 carries the triangle's original (leaf-order) id as f32 —
+    # tiles are re-clustered by aligned_stream_order, but winners must
+    # report ids in the order records/replay/oracle use.
+    oid = jnp.broadcast_to(tile[9:10, :], best_t.shape).astype(jnp.int32)
+    pid = (oid << 5) | ii
     if any_hit:
         new_t = jnp.where(ok, 0.0, best_t)
     else:

@@ -175,7 +175,7 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
            max_depth: Optional[int] = None, seed: int = 0,
            chunk: Optional[int] = None, sample_offset: int = 0,
            accum: Optional[jnp.ndarray] = None, stats: Optional[RenderStats] = None,
-           differentiable: bool = False):
+           differentiable: bool = False, sync: bool = True):
     """Render ``spp`` samples/pixel; returns the accumulation buffer
     [H, W, 3] of *summed* radiance (divide by spp via film.tonemap).
 
@@ -184,6 +184,11 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
     ``differentiable=True`` keeps the gradient-bearing material/texture
     path on TPU (plain renders use faster detached attribute kernels; on
     CPU everything is differentiable regardless).
+    ``sync=False`` skips the final block_until_ready: the device tunnel
+    charges ~28 ms per host<->device roundtrip, so callers that
+    materialize the result themselves (bench.py, chained passes) should
+    not pay a second one here.  Wall-clock stats are only recorded when
+    ``sync`` is true.
     """
     spp = cam.samples_per_pixel if spp is None else spp
     max_depth = cam.max_depth if max_depth is None else max_depth
@@ -228,13 +233,14 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
         overflow = overflow + ovf
         pos += chunk
         n_chunks += 1
-    if hasattr(flat, "block_until_ready"):  # absent under jax.grad tracing
+    if sync and hasattr(flat, "block_until_ready"):  # absent under grad tracing
         flat.block_until_ready()
     dt = time.perf_counter() - t0
 
     if stats is not None:
         stats.rays_traced += total - start
-        stats.wall_seconds += dt
+        if sync:
+            stats.wall_seconds += dt
         stats.chunks += n_chunks
         try:
             stats.mesh_overflow += int(overflow)
