@@ -38,7 +38,15 @@ from ..core import rng as rngmod
 from ..geometry import packs
 
 BIG = np.float32(3.0e38)
-BLOCK_ROWS = 32
+# Rays per grid step = BLOCK_ROWS * 128.  Smaller blocks cull finer (the
+# sphere-segment test and the early block-exit are per block) but pay
+# more grid steps; 32 measured best on cornell, see choose_mega_mode
+# callers.  Env override for experiments only — it is baked into traced
+# programs, so flip it ONLY in a fresh process (same caveat as
+# INTERPRET, CLAUDE.md).
+import os as _os
+
+BLOCK_ROWS = int(_os.environ.get("GRT_MEGA_BLOCK_ROWS", "32"))
 LANES = 128
 EPS_HIT = np.float32(1e-3)
 EPS_PARALLEL = np.float32(1e-8)
