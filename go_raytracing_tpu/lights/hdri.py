@@ -42,6 +42,9 @@ class Environment(NamedTuple):
     total_power: jnp.ndarray      # scalar
     alias_idx: jnp.ndarray        # [H * W] i32 alias cell (Walker table)
     alias_cut: jnp.ndarray        # [H * W] f32 keep-own-cell threshold
+    quad: jnp.ndarray             # [H * W, 12] 2x2 bilinear footprint per
+                                  # base texel (c00 c10 c01 c11, wrap/clamp
+                                  # baked) -> miss shader = ONE row gather
 
 
 def _build_alias(weight: np.ndarray):
@@ -114,6 +117,15 @@ def build_environment(data: np.ndarray, rotation_degrees: float = 0.0) -> Enviro
         pdf = q  # sampling density actually encoded by the alias table
     else:
         pdf = weight
+    # 2x2 bilinear footprints with horizontal wrap / vertical clamp baked
+    # in: the miss shader fetches all four texels with ONE [R, 12] row
+    # gather (gathers are latency-bound per LOOKUP, ~6 ns each; 4 lookups
+    # were ~102 ms per 4M-ray chunk on hdri-test, scripts/slow_probe.py).
+    x1 = (np.arange(w) + 1) % w
+    y1 = np.minimum(np.arange(h) + 1, h - 1)
+    quad = np.concatenate(
+        [data, data[:, x1], data[y1], data[y1][:, x1]], axis=2
+    ).reshape(h * w, 12)
     return Environment(
         data=jnp.asarray(data),
         rotation=jnp.float32(np.deg2rad(rotation_degrees)),
@@ -123,6 +135,7 @@ def build_environment(data: np.ndarray, rotation_degrees: float = 0.0) -> Enviro
         total_power=jnp.float32(total_power),
         alias_idx=jnp.asarray(alias_idx),
         alias_cut=jnp.asarray(alias_cut),
+        quad=jnp.asarray(quad),
     )
 
 
@@ -260,12 +273,13 @@ def _direction_to_uv_soa(env: Environment, d):
 
 
 def sample_soa(env: Environment, d):
-    """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp).
+    """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp,
+    rt/image_loader.go:399-431).
 
-    The four texel fetches are ROW gathers of the [H*W, 3] texel table —
-    one lookup each — instead of 12 per-component element gathers
-    (gathers are latency-bound at ~12 ns/lookup on TPU; at a 9M-ray
-    miss-shader pass that is ~0.4 s vs ~1.3 s)."""
+    ONE [R, 12] row gather of the precomputed 2x2-footprint table
+    (Environment.quad) fetches all four texels: gathers are latency-bound
+    per LOOKUP (~6 ns), so the previous four [R, 3] row gathers cost
+    ~102 ms per 4M-ray chunk (scripts/slow_probe.py, hdri-test)."""
     from ..core.vec3 import V3
 
     h, w = env.data.shape[:2]
@@ -277,20 +291,16 @@ def sample_soa(env: Environment, d):
     fx = px - x0.astype(px.dtype)
     fy = py - y0.astype(py.dtype)
     x0w = jnp.mod(x0, w)
-    x1w = jnp.mod(x0 + 1, w)
     y0c = jnp.clip(y0, 0, h - 1)
-    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    # Top edge: y0 = -1 clamps BOTH bilinear rows to row 0, but the quad
+    # at base row 0 holds rows (0, 1) — collapse the blend to row 0.
+    fy = jnp.where(y0 < 0, 0.0, fy)
 
-    flat = env.data.reshape(h * w, 3)
-
-    def texel(yy, xx):
-        t = flat[yy * w + xx]  # [R, 3] row gather
-        return V3(t[:, 0], t[:, 1], t[:, 2])
-
-    c00 = texel(y0c, x0w)
-    c10 = texel(y0c, x1w)
-    c01 = texel(y1c, x0w)
-    c11 = texel(y1c, x1w)
+    q = env.quad[y0c * w + x0w]  # [R, 12]: c00 c10 c01 c11
+    c00 = V3(q[:, 0], q[:, 1], q[:, 2])
+    c10 = V3(q[:, 3], q[:, 4], q[:, 5])
+    c01 = V3(q[:, 6], q[:, 7], q[:, 8])
+    c11 = V3(q[:, 9], q[:, 10], q[:, 11])
     c0 = c00 * (1.0 - fx) + c10 * fx
     c1 = c01 * (1.0 - fx) + c11 * fx
     return c0 * (1.0 - fy) + c1 * fy

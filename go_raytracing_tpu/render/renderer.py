@@ -153,6 +153,20 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
         mega_mode=mega_mode, with_stats=True,
     )
     rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
+    # Sample-aligned chunks (render() rounds chunk to a multiple of n_virt
+    # and starts chunks on sample boundaries): ids % n_virt is the SAME
+    # arange pattern for every chunk, so per-pixel accumulation is a
+    # reshape+sum over the chunk's whole samples — the 4M-element
+    # scatter-add was ~165 ms/chunk on TPU (scripts/slow_probe.py), a
+    # third of hdri-test's wall time.  Untiled layouts need no scatter at
+    # all (virtual pixel == pixel); tiled layouts scatter once per chunk
+    # at n_virt elements (11x fewer).
+    if chunk % n_virt == 0:
+        vs = rows.reshape(chunk // n_virt, n_virt, 3).sum(axis=0)
+        if not tiled:
+            return accum + vs, tstats["mesh_overflow"]
+        vpixel = pixel[:n_virt]
+        return accum.at[vpixel].add(vs), tstats["mesh_overflow"]
     return accum.at[pixel].add(rows), tstats["mesh_overflow"]
 
 
@@ -199,6 +213,12 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
         chunk = pick_chunk_size(scene)
         # Never launch (much) more than the job itself.
         chunk = min(chunk, max(1024, -(-n_virt * spp // 1024) * 1024))
+    if chunk >= n_virt:
+        # Round to whole samples: chunks then start on sample boundaries
+        # (start = sample_offset * n_virt is one; increments keep it), so
+        # _render_chunk accumulates by reshape+sum instead of a
+        # chunk-sized scatter-add.
+        chunk = min(chunk // n_virt, max(spp, 1)) * n_virt
 
     flat = (
         jnp.zeros((n_pixels, 3), jnp.float32)

@@ -90,6 +90,27 @@ def test_bilinear_sample_wraps_horizontally():
     assert c[0] > 0.4  # near the bright wrapped column
 
 
+def test_sample_soa_matches_aos_oracle():
+    """The quad-table single-gather miss shader (sample_soa) must match
+    the 4-fetch AoS bilinear oracle everywhere, including the pole rows
+    (vertical clamp) and the horizontal wrap seam."""
+    from go_raytracing_tpu.core.vec3 import V3
+
+    rng = np.random.default_rng(3)
+    data = rng.uniform(0.0, 5.0, (6, 10, 3)).astype(np.float32)
+    env = hdri.build_environment(data, rotation_degrees=33.0)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    # Force pole and seam coverage.
+    d[:64, 0] *= 0.01
+    d[:64, 2] *= 0.01
+    d[64:128, 1] *= 0.01
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    want = np.asarray(hdri.sample(env, jnp.asarray(d)))
+    got = hdri.sample_soa(env, V3(*[jnp.asarray(d[:, i]) for i in range(3)]))
+    got = np.stack([np.asarray(got.x), np.asarray(got.y), np.asarray(got.z)], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_rgbe_roundtrip(tmp_path):
     """Write a minimal uncompressed .hdr and read it back."""
     h, w = 3, 5
