@@ -47,6 +47,11 @@ BIG = np.float32(3.0e38)
 import os as _os
 
 BLOCK_ROWS = int(_os.environ.get("GRT_MEGA_BLOCK_ROWS", "32"))
+# Sphere-segment-culled scenes (RandomScene: 485 spheres, depth 10) run
+# smaller blocks: the per-block segment slab test and the all-dead block
+# exit both cull finer (measured 755 -> 671 ms on random's 4.19M-ray
+# chunk), and the sweep loop dominates so the extra grid steps are noise.
+SPH_BLOCK_ROWS = int(_os.environ.get("GRT_MEGA_SPH_BLOCK_ROWS", "8"))
 LANES = 128
 EPS_HIT = np.float32(1e-3)
 EPS_PARALLEL = np.float32(1e-8)
@@ -809,17 +814,18 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 @functools.partial(
     jax.jit,
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
-                     "n_lights", "has_checker", "max_depth", "rec_dec"),
+                     "n_lights", "has_checker", "max_depth", "rec_dec",
+                     "block_rows"),
 )
 def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
           n_sph_seg, n_vol, n_lights, has_checker, max_depth, hdri_rows=None,
-          rec_dec=False):
+          rec_dec=False, block_rows=BLOCK_ROWS):
     from ..core.vec3 import V3
 
     oc = [o.x, o.y, o.z]
     dc = [d.x, d.y, d.z]
     r = oc[0].shape[0]
-    block = BLOCK_ROWS * LANES
+    block = block_rows * LANES
     padded = -(-r // block) * block
     rows = padded // LANES
 
@@ -830,11 +836,11 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
 
     rays = [prep(a) for a in oc + dc + [tm]] + [prep(stream, jnp.uint32)]
 
-    grid = (rows // BLOCK_ROWS,)
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     use_hdri = hdri_rows is not None
@@ -843,13 +849,13 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
         hdri = jnp.stack([prep(a) for a in hdri_rows], axis=0)
         hdri_in = [hdri]
         d7 = len(hdri_rows)
-        hdri_spec = [pl.BlockSpec((d7, BLOCK_ROWS, LANES),
+        hdri_spec = [pl.BlockSpec((d7, block_rows, LANES),
                                   lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
     dec_spec, dec_shape = [], []
     if rec_dec:
-        dec_spec = [pl.BlockSpec((max_depth, BLOCK_ROWS, LANES),
+        dec_spec = [pl.BlockSpec((max_depth, block_rows, LANES),
                                  lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)]
         dec_shape = [jax.ShapeDtypeStruct((max_depth, rows, LANES),
@@ -888,16 +894,16 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
     jax.jit,
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
                      "n_lights", "has_checker", "max_depth", "b_start",
-                     "b_end"),
+                     "b_end", "block_rows"),
 )
 def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
                  n_sph_seg, n_vol, n_lights, has_checker, max_depth,
-                 b_start, b_end, hdri_rows=None):
+                 b_start, b_end, hdri_rows=None, block_rows=BLOCK_ROWS):
     """Resumable phase: `flat` is the 21-tuple of [R] state arrays
     (o3, d3, tm, stream, tp3, rad3, flags, mdir3, mtp3); returns the
     19-tuple (rad3, mdir3, mtp3, flags, o3, d3, tp3) of [R] arrays."""
     r = flat[0].shape[0]
-    block = BLOCK_ROWS * LANES
+    block = block_rows * LANES
     padded = -(-r // block) * block
     rows = padded // LANES
 
@@ -914,15 +920,15 @@ def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
         hdri = jnp.stack([prep(a) for a in hdri_rows], axis=0)
         hdri_in = [hdri]
         d7 = len(hdri_rows)
-        hdri_spec = [pl.BlockSpec((d7, BLOCK_ROWS, LANES),
+        hdri_spec = [pl.BlockSpec((d7, block_rows, LANES),
                                   lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
 
-    grid = (rows // BLOCK_ROWS,)
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
     f32s = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
@@ -1014,6 +1020,7 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
         n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
         n_vol=n_vol, n_lights=n_lights,
         has_checker=scene.has_checker, max_depth=cam.max_depth,
+        block_rows=SPH_BLOCK_ROWS if n_sph_seg else BLOCK_ROWS,
     )
     r = o.x.shape[0]
 

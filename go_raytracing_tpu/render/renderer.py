@@ -116,8 +116,13 @@ def _id_to_pixel(ids, w: int, h: int, tiled: bool):
 
 
 def scene_tiled(scene) -> bool:
-    """Tiled ray layout only where block coherence pays (mesh scenes)."""
-    return len(scene.meshes) > 0
+    """Tiled ray layout where block coherence pays: mesh scenes (stream
+    kernel segment early-outs are per block) and sphere-segment-culled
+    megakernel scenes (>= SPH_CULL_MIN spheres: compact 32x32 pixel
+    buckets keep a block's rays — and everything they scatter into —
+    spatially tight, so per-block Morton-segment slab tests cull more)."""
+    return (len(scene.meshes) > 0
+            or int(scene.spheres.radius.shape[0]) >= 64)
 
 
 @partial(jax.jit,
