@@ -65,7 +65,13 @@ ST_ROWS = 21  # sphere: c(3) vel(3) rad2 mat tex fuzz ior col(3) even(3) odd(3) 
 VT_ROWS = 24  # volume: w2l(12) bmin(3) bmax(3) nid mat tex col(3)
 LT_ROWS = 16  # light: q(3) u(3) v(3) n(3) area em(3)
 
-SPH_SEG = 32        # spheres per cullable segment (Morton-sorted)
+SPH_SEG = int(_os.environ.get("GRT_MEGA_SPH_SEG", "16"))
+# ^ spheres per cullable segment (Morton-sorted).  16 measured best on
+# RandomScene (485 spheres, depth 10): the radius-1000 ground sphere's
+# segment AABB spans the scene so its whole segment is swept by every
+# block every bounce — halving the segment width halves that forced
+# sweep, and the doubled per-block slab tests are cheaper than the
+# avoided quadratics.  Env knob for experiments (baked into traces).
 SPH_CULL_MIN = 64   # below this, brute sweep beats the cond ladder
 
 _M = np.uint32(1664525)
