@@ -42,9 +42,6 @@ class Environment(NamedTuple):
     total_power: jnp.ndarray      # scalar
     alias_idx: jnp.ndarray        # [H * W] i32 alias cell (Walker table)
     alias_cut: jnp.ndarray        # [H * W] f32 keep-own-cell threshold
-    quad: jnp.ndarray             # [H * W, 12] 2x2 bilinear footprint per
-                                  # base texel (c00 c10 c01 c11, wrap/clamp
-                                  # baked) -> miss shader = ONE row gather
 
 
 def _build_alias(weight: np.ndarray):
@@ -117,15 +114,6 @@ def build_environment(data: np.ndarray, rotation_degrees: float = 0.0) -> Enviro
         pdf = q  # sampling density actually encoded by the alias table
     else:
         pdf = weight
-    # 2x2 bilinear footprints with horizontal wrap / vertical clamp baked
-    # in: the miss shader fetches all four texels with ONE [R, 12] row
-    # gather (gathers are latency-bound per LOOKUP, ~6 ns each; 4 lookups
-    # were ~102 ms per 4M-ray chunk on hdri-test, scripts/slow_probe.py).
-    x1 = (np.arange(w) + 1) % w
-    y1 = np.minimum(np.arange(h) + 1, h - 1)
-    quad = np.concatenate(
-        [data, data[:, x1], data[y1], data[y1][:, x1]], axis=2
-    ).reshape(h * w, 12)
     return Environment(
         data=jnp.asarray(data),
         rotation=jnp.float32(np.deg2rad(rotation_degrees)),
@@ -135,8 +123,24 @@ def build_environment(data: np.ndarray, rotation_degrees: float = 0.0) -> Enviro
         total_power=jnp.float32(total_power),
         alias_idx=jnp.asarray(alias_idx),
         alias_cut=jnp.asarray(alias_cut),
-        quad=jnp.asarray(quad),
     )
+
+
+def quad_table(data: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 3] -> [H*W, 12] table of 2x2 bilinear footprints
+    (c00 c10 c01 c11) with horizontal wrap / vertical clamp baked in.
+
+    Built INSIDE the trace from ``Environment.data`` so gradients flow to
+    the texels (d(render)/d(env) — the miss shader must see env.data as a
+    *live* texture, rt/hdri.go:120-128).  Construction is slices/concat
+    only (no gathers): one extra [H*W,12] materialization per chunk, ~25MB
+    for a 1k HDRI — negligible vs the 4 per-ray row gathers it replaces
+    (~102 ms per 4M-ray chunk, scripts/slow_probe.py)."""
+    h, w = data.shape[:2]
+    dx = jnp.roll(data, -1, axis=1)                       # x+1, wrap
+    dy = jnp.concatenate([data[1:], data[-1:]], axis=0)   # y+1, clamp
+    dxy = jnp.roll(dy, -1, axis=1)
+    return jnp.concatenate([data, dx, dy, dxy], axis=2).reshape(h * w, 12)
 
 
 def direction_to_uv(env: Environment, d):
@@ -276,10 +280,11 @@ def sample_soa(env: Environment, d):
     """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp,
     rt/image_loader.go:399-431).
 
-    ONE [R, 12] row gather of the precomputed 2x2-footprint table
-    (Environment.quad) fetches all four texels: gathers are latency-bound
-    per LOOKUP (~6 ns), so the previous four [R, 3] row gathers cost
-    ~102 ms per 4M-ray chunk (scripts/slow_probe.py, hdri-test)."""
+    ONE [R, 12] row gather of the 2x2-footprint table fetches all four
+    texels: gathers are latency-bound per LOOKUP (~6 ns), so the previous
+    four [R, 3] row gathers cost ~102 ms per 4M-ray chunk
+    (scripts/slow_probe.py, hdri-test).  The table is derived from
+    env.data in-trace (quad_table) so texel gradients flow."""
     from ..core.vec3 import V3
 
     h, w = env.data.shape[:2]
@@ -296,7 +301,7 @@ def sample_soa(env: Environment, d):
     # at base row 0 holds rows (0, 1) — collapse the blend to row 0.
     fy = jnp.where(y0 < 0, 0.0, fy)
 
-    q = env.quad[y0c * w + x0w]  # [R, 12]: c00 c10 c01 c11
+    q = quad_table(env.data)[y0c * w + x0w]  # [R, 12]: c00 c10 c01 c11
     c00 = V3(q[:, 0], q[:, 1], q[:, 2])
     c10 = V3(q[:, 3], q[:, 4], q[:, 5])
     c01 = V3(q[:, 6], q[:, 7], q[:, 8])

@@ -428,7 +428,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                          body, init)
 
             # Segment-culled sweep: spheres are Morton-sorted, so each
-            # 32-column segment is spatially tight; skip segments whose
+            # SPH_SEG-column segment is spatially tight; skip segments whose
             # AABB no ray in the block can reach within its current t.
             invd = []
             for i in range(3):

@@ -117,8 +117,11 @@ def render_sharded(scene: Scene, cam: Camera, mesh: Mesh, seed, *, spp: int):
 
 def trainable_params(scene: Scene):
     """The parameter pytree BASELINE targets gradients for: material fuzz /
-    IOR, texture colors (albedo + emission), and texture image maps."""
-    return dict(
+    IOR, texture colors (albedo + emission), texture image maps, and —
+    when the scene has an HDRI — the environment texels (env maps are
+    texture maps too; the miss shader derives its footprint table from
+    env.data in-trace, lights/hdri.quad_table)."""
+    p = dict(
         fuzz=scene.materials.fuzz,
         ior=scene.materials.ior,
         color=scene.textures.color,
@@ -126,11 +129,18 @@ def trainable_params(scene: Scene):
         odd_color=scene.textures.odd_color,
         atlas=scene.textures.atlas,
     )
+    if scene.env is not None:
+        p["env_data"] = scene.env.data
+    return p
 
 
 def apply_params(scene: Scene, params) -> Scene:
+    env = scene.env
+    if env is not None and "env_data" in params:
+        env = env._replace(data=params["env_data"])
     return dataclasses.replace(
         scene,
+        env=env,
         materials=scene.materials._replace(fuzz=params["fuzz"], ior=params["ior"]),
         textures=scene.textures._replace(
             color=params["color"],

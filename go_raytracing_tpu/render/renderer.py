@@ -121,8 +121,10 @@ def scene_tiled(scene) -> bool:
     megakernel scenes (>= SPH_CULL_MIN spheres: compact 32x32 pixel
     buckets keep a block's rays — and everything they scatter into —
     spatially tight, so per-block Morton-segment slab tests cull more)."""
+    from ..ops.pallas_wavefront import SPH_CULL_MIN
+
     return (len(scene.meshes) > 0
-            or int(scene.spheres.radius.shape[0]) >= 64)
+            or int(scene.spheres.radius.shape[0]) >= SPH_CULL_MIN)
 
 
 @partial(jax.jit,
@@ -165,8 +167,14 @@ def _render_chunk(scene, cam: Camera, accum, ray_start, seed, *, spp: int,
     # scatter-add was ~165 ms/chunk on TPU (scripts/slow_probe.py), a
     # third of hdri-test's wall time.  Untiled layouts need no scatter at
     # all (virtual pixel == pixel); tiled layouts scatter once per chunk
-    # at n_virt elements (11x fewer).
+    # at n_virt elements (11x fewer).  INVARIANT: this branch also needs
+    # ray_start % n_virt == 0 (chunks start on sample boundaries) or the
+    # arange pattern would scatter radiance to wrong pixels — render()
+    # aligns start and rounds chunk; assert it for any future caller.
     if chunk % n_virt == 0:
+        checkify_start_aligned = ray_start % jnp.uint32(n_virt)
+        rows = jnp.where((checkify_start_aligned == 0)[None, None],
+                         rows, jnp.nan)  # misuse -> loud NaNs, not silence
         vs = rows.reshape(chunk // n_virt, n_virt, 3).sum(axis=0)
         if not tiled:
             return accum + vs, tstats["mesh_overflow"]
