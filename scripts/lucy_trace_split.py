@@ -77,9 +77,17 @@ def main():
                 jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool),
                 jnp.int32(0))
 
+    # NOTE: must be a DIFFERENT function object than `full` — jax.jit
+    # keys its trace cache on the wrapped function's identity, so
+    # jax.jit(full) after monkeypatching would silently reuse the
+    # pre-stub trace (measured: identical times, bogus "-0%").
     wavefront._mesh_intersect = stub
     try:
-        dt_stub = timeit(jax.jit(full), o, d, tm, ids)
+        def full_stub(o, d, tm, ids):
+            return wavefront.trace(scene, cam, o, d, tm, ids, 0,
+                                   differentiable=False).rows()
+
+        dt_stub = timeit(jax.jit(full_stub), o, d, tm, ids)
     finally:
         wavefront._mesh_intersect = real
     print(f"mesh stubbed:      {dt_stub*1e3:8.1f} ms "
