@@ -34,6 +34,14 @@ ALL_CONFIGS = {
     "cornell-lucy-280k": dict(width=600, aspect=1.0, spp=25, depth=5,
                               scene="cornell-lucy",
                               scene_kwargs=dict(mesh_detail=(376, 374))),
+    # Irregular ≥100K-tri surface: displacement-noised lathe with the
+    # fold/drapery tile-coherence profile of a real scanned statue
+    # (VERDICT r2 #4 — kernel perf conclusions must transfer off the
+    # BVH-friendly smooth stand-in).
+    "cornell-lucy-rough": dict(width=600, aspect=1.0, spp=25, depth=5,
+                               scene="cornell-lucy",
+                               scene_kwargs=dict(mesh_detail=(256, 220),
+                                                 roughness=0.35)),
     "cornell-smoke": dict(width=600, aspect=1.0, spp=25, depth=5),
 }
 

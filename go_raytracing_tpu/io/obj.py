@@ -46,12 +46,21 @@ def is_lfs_stub(path: str) -> bool:
         return True
 
 
-def lucy_standin(segments: int = 48, rings: int = 40):
+def lucy_standin(segments: int = 48, rings: int = 40,
+                 roughness: float = 0.0):
     """Procedural lathed 'statue' with Lucy's bounding box.
 
     A rotationally swept profile (base, body, shoulders, head) produces
     ``segments * (rings - 1) * 2`` triangles — enough to exercise the mesh
     BVH path without the 10.8 MB asset.
+
+    ``roughness`` > 0 displaces vertices radially and vertically with
+    deterministic multi-octave sine noise, turning the (maximally
+    BVH-friendly) smooth lathe into an irregular surface with folds and
+    drapery-like ridges — the tile/cull stress profile of a real scanned
+    statue (rt/obj_loader.go:105-112; the real lucy_low.obj is an lfs
+    stub in this checkout).  0.35 gives fold depths of ~1/3 the local
+    radius without self-intersection of the lathe topology.
     """
     ys = np.linspace(0.0, 1597.0, rings)
     t = ys / 1597.0
@@ -65,11 +74,25 @@ def lucy_standin(segments: int = 48, rings: int = 40):
     )
     profile = np.minimum(profile, 465.0)
     ang = np.linspace(0.0, 2 * np.pi, segments, endpoint=False)
+    rad = np.broadcast_to(profile[:, None], (rings, segments)).copy()
+    yy = np.broadcast_to(ys[:, None], rad.shape).copy()
+    if roughness > 0.0:
+        th = np.broadcast_to(ang[None, :], rad.shape)
+        tv = np.broadcast_to(t[:, None], rad.shape)
+        # Deterministic fBm-ish displacement: incommensurate sine
+        # octaves in (angle, height) — vertical folds + diagonal ridges.
+        disp = (
+            0.50 * np.sin(7.0 * th + 23.0 * tv)
+            + 0.30 * np.sin(13.0 * th - 41.0 * tv + 1.7)
+            + 0.15 * np.sin(29.0 * th + 83.0 * tv + 0.6)
+            + 0.05 * np.sin(61.0 * th - 167.0 * tv + 2.9)
+        )
+        rad = rad * (1.0 + roughness * disp)
+        yy = yy + roughness * 40.0 * np.sin(11.0 * th + 31.0 * tv)
     # Slightly elliptical (x wider than z), like the statue's silhouette.
-    vx = profile[:, None] * np.cos(ang)[None, :]
-    vz = profile[:, None] * np.sin(ang)[None, :] * 0.55
-    vy = np.broadcast_to(ys[:, None], vx.shape)
-    verts = np.stack([vx, vy, vz], axis=-1).reshape(-1, 3)
+    vx = rad * np.cos(ang)[None, :]
+    vz = rad * np.sin(ang)[None, :] * 0.55
+    verts = np.stack([vx, yy, vz], axis=-1).reshape(-1, 3)
 
     tris = []
     for r in range(rings - 1):

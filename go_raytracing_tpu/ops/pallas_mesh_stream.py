@@ -78,7 +78,7 @@ BLOCK = GROUP * N_GROUPS     # 1024 rays per grid step
 TILE = 128                   # triangles per tile (tris on lanes)
 SEG_TILES = 16               # tiles per cull segment (bitmask word)
 SEG = TILE * SEG_TILES       # 2048 triangles per segment
-ROWS = 16                    # tri rows (10 used: v0/e1/e2 xyz + orig id)
+ROWS = 16                    # tri rows (13 used: n, U, V, id, d_p, Uo, Vo)
 
 MAX_INSTANCES = 31           # instance bitmask fits one i32
 MAXT_INST = 896              # cull slots per (block, instance); a slot
@@ -148,8 +148,18 @@ def build_stream_tables(v0, e1, e2):
     per-(block, instance) slot bitmask always covers the WHOLE mesh —
     overflow is structurally impossible at any size the VMEM table
     admits (aligned-split adjacency keeps the grouped boxes compact).
-    Padding triangles are zero (degenerate, never pass Moller-Trumbore);
-    padding slot boxes are +BIG/-BIG so every slab test fails.
+    Padding triangles are zero (n = 0 -> rejected as parallel); padding
+    slot boxes are +BIG/-BIG so every slab test fails.
+
+    Rows hold the Baldwin-Weber precomputed intersection transform
+    instead of raw (v0, e1, e2): rows 0-2 the unnormalized plane normal
+    n = e1 x e2, rows 3-5 U = (e2 x n)/|n|^2 and rows 6-8
+    V = (n x e1)/|n|^2 (barycentrics as affine functions of the hit
+    point: u = U.p + Uo, v = V.p + Vo), row 9 the original id, row 10
+    d_p = n.v0, rows 11-12 Uo/Vo.  Same accept region as
+    Moller-Trumbore but ~37 vector ops per tile sweep instead of ~61
+    (the sweep is VPU-issue-bound at ~71 ns, scripts/stream_micro.py).
+    Precomputed in f64 so sliver triangles' U/V stay accurate in f32.
     """
     t = v0.shape[0]
     if t:
@@ -167,9 +177,21 @@ def build_stream_tables(v0, e1, e2):
     tpad = nslot * slot_tris
     nt = tpad // TILE
 
+    v064 = v0.astype(np.float64)
+    e164 = e1.astype(np.float64)
+    e264 = e2.astype(np.float64)
+    n64 = np.cross(e164, e264)
+    n2 = np.maximum((n64 * n64).sum(axis=1, keepdims=True), 1e-300)
+    U = np.cross(e264, n64) / n2
+    V = np.cross(n64, e164) / n2
     rows9 = np.zeros((ROWS, tpad), np.float32)
-    rows9[:9, :t] = np.concatenate([v0.T, e1.T, e2.T], axis=0)
+    rows9[0:3, :t] = n64.T
+    rows9[3:6, :t] = U.T
+    rows9[6:9, :t] = V.T
     rows9[9, :t] = perm.astype(np.float32)  # original (leaf-order) ids
+    rows9[10, :t] = (n64 * v064).sum(axis=1)         # d_p
+    rows9[11, :t] = -(U * v064).sum(axis=1)          # Uo
+    rows9[12, :t] = -(V * v064).sum(axis=1)          # Vo
     # [ROWS, NT, TILE] -> [NT, ROWS, TILE]; ascontiguousarray materializes
     # (assignment into a reshape of a transposed view is silently lost)
     tri = np.ascontiguousarray(
@@ -324,29 +346,31 @@ def build_block_lists(w2l, root_lo, root_hi, tilebox, o, d, t_max, t_min):
 
 def _sweep_tile(tri_ref, tid, o_l, d_l, t_cap, best_t, best_id, ii,
                 *, t_min, any_hit):
-    """Moller-Trumbore: one 128-tri tile (tris on lanes) against rays
-    broadcast per sublane.  o_l/d_l: 3 x [GROUP or 8, 128] (lane-const
-    per sublane); best_t/best_id: running [_, 128] per-lane bests."""
+    """Baldwin-Weber intersection: one 128-tri tile (tris on lanes)
+    against rays broadcast per sublane.  o_l/d_l: 3 x [GROUP or 8, 128]
+    (lane-const per sublane); best_t/best_id: running [_, 128] per-lane
+    bests.  Per-tri rows carry the precomputed plane (n, d_p) and the
+    barycentric affine transform (U, Uo, V, Vo) — see
+    build_stream_tables — cutting the sweep from ~61 to ~37 vector ops
+    (it is VPU-issue-bound, scripts/stream_micro.py).  Accept region is
+    identical to Moller-Trumbore: u >= 0, v >= 0, u + v <= 1."""
     tile = tri_ref[tid]                      # [ROWS, TILE] dynamic dim-0
-    v0 = [tile[c:c + 1, :] for c in range(3)]
-    e1 = [tile[3 + c:4 + c, :] for c in range(3)]
-    e2 = [tile[6 + c:7 + c, :] for c in range(3)]
-    hx = d_l[1] * e2[2] - d_l[2] * e2[1]
-    hy = d_l[2] * e2[0] - d_l[0] * e2[2]
-    hz = d_l[0] * e2[1] - d_l[1] * e2[0]
-    a = e1[0] * hx + e1[1] * hy + e1[2] * hz
-    parallel = jnp.abs(a) < 1e-8
-    f = 1.0 / jnp.where(parallel, 1.0, a)
-    sx = o_l[0] - v0[0]
-    sy = o_l[1] - v0[1]
-    sz = o_l[2] - v0[2]
-    u = f * (sx * hx + sy * hy + sz * hz)
-    qx = sy * e1[2] - sz * e1[1]
-    qy = sz * e1[0] - sx * e1[2]
-    qz = sx * e1[1] - sy * e1[0]
-    v = f * (d_l[0] * qx + d_l[1] * qy + d_l[2] * qz)
-    tc = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
-    ok = (~parallel & (u >= 0.0) & (u <= 1.0)
+    nr = [tile[c:c + 1, :] for c in range(3)]
+    U = [tile[3 + c:4 + c, :] for c in range(3)]
+    V = [tile[6 + c:7 + c, :] for c in range(3)]
+    d_p = tile[10:11, :]
+    Uo = tile[11:12, :]
+    Vo = tile[12:13, :]
+    den = nr[0] * d_l[0] + nr[1] * d_l[1] + nr[2] * d_l[2]
+    num = d_p - (nr[0] * o_l[0] + nr[1] * o_l[1] + nr[2] * o_l[2])
+    parallel = jnp.abs(den) < 1e-12
+    tc = num / jnp.where(parallel, 1.0, den)
+    px = o_l[0] + tc * d_l[0]
+    py = o_l[1] + tc * d_l[1]
+    pz = o_l[2] + tc * d_l[2]
+    u = U[0] * px + U[1] * py + U[2] * pz + Uo
+    v = V[0] * px + V[1] * py + V[2] * pz + Vo
+    ok = (~parallel & (u >= 0.0)
           & (v >= 0.0) & (u + v <= 1.0)
           & (tc >= t_min) & (tc < t_cap) & (tc < best_t))
     # Row 9 carries the triangle's original (leaf-order) id as f32 —
@@ -363,26 +387,13 @@ def _sweep_tile(tri_ref, tid, o_l, d_l, t_cap, best_t, best_id, ii,
 
 
 def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
-            w2l_ref, rootb_ref, tileb_ref, tri_ref, rays_ref,
+            w2l_ref, rootb_ref, segb_ref, tileb_ref, tri_ref, rays_ref,
             t_out, id_out,
             lr_scr, gw, gw_s, tl_s, sems,
             *, t_min, n_inst, any_hit, tps=1, skip_b=False):
     imask = instmask_ref[0, 0, 0]
     nsegs = nseg_ref[0, 0, 0]
     big = jnp.float32(BIG)
-
-    # ---- zero the slot-bit rows + per-group summaries, but only for
-    # instances this block can reach: with 29 words per instance the
-    # unconditional wipe was ~290 vector writes per block, paid even by
-    # fully-dead blocks (most blocks, after the reach prefilter).  Phase
-    # A and B are gated on the same imask bits, so stale rows of absent
-    # instances are never read.
-    for ii in range(n_inst):
-        @pl.when((jax.lax.shift_right_logical(imask, ii) & 1) == 1)
-        def _(ii=ii):
-            for iw in range(W_WORDS + 1):
-                gw[ii * (W_WORDS + 1) + iw, :, :] = jnp.zeros(
-                    (1, LANES), jnp.int32)
 
     # ---- phase 0: per-instance local rays + per-ray root-box interval.
     # Rays arrive [8, GROUP, N_GROUPS]: member on sublanes, group on
@@ -422,103 +433,149 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
             lr_scr[ii, 9] = t_en
             lr_scr[ii, 10] = t_ex
 
-    # ---- phase A: per-instance dense tile slot lists + per-group bit
-    # matrices.  For instance ii: rows ii*(W_WORDS+1)+w of gw hold slot
-    # word w across the 128 groups; row ii*(W_WORDS+1)+W_WORDS is the
-    # per-group summary (bit w set iff word w has any bit) — phase B
-    # skips empty words/groups on one scalar read.  Keeping slot spaces
-    # per-instance makes the phase-B instance loop static, so ray
-    # extraction needs no per-slot dynamic rolls.
-    def seg_body(j, nts):
-        seg = segs_ref[0, 0, j]
-
-        def inst_step(nt, ii):
-            tm0 = tilemask_ref[0, 0, seg * n_inst + ii]
-            near0 = lr_scr[ii, 9]
-            far0 = lr_scr[ii, 10]
-            slab_rows = [(lr_scr[ii, i], lr_scr[ii, 6 + i])
-                         for i in range(3)]
-            row0 = ii * (W_WORDS + 1)
-
-            def bit_body(c):
-                tm, nt = c
-                nz = tm & (-tm)
-                k = 31 - jax.lax.clz(nz)
-                tid = seg * SEG_TILES + k
-
-                # EXACT per-ray slab test ([8, 128]: member x group) —
-                # a group frustum over 8 compaction-scattered rays
-                # covers ~8x more tiles than the union of its rays
-                # (measured 242 vs ~30 tiles/group on bounce-1 rays);
-                # per-ray costs the same vreg ops, and the axis-0 fold
-                # gives the minimal per-group mask for 8-ray sweeps.
-                near = near0
-                farv = far0
-                for i in range(3):
-                    b_lo = tileb_ref[i, tid]
-                    b_hi = tileb_ref[3 + i, tid]
-                    ol, inv = slab_rows[i]
-                    ta = (b_lo - ol) * inv
-                    tb = (b_hi - ol) * inv
-                    near = jnp.maximum(near, jnp.minimum(ta, tb))
-                    farv = jnp.minimum(farv, jnp.maximum(ta, tb))
-                hit = jnp.any(farv >= near, axis=0, keepdims=True
-                              ).astype(jnp.int32)      # [1, LANES]
-
-                @pl.when(nt < MAXT_INST)
-                def _():
-                    w = nt // 32
-                    bit = nt - w * 32
-                    gw[row0 + w, :, :] = gw[row0 + w, :, :] | (hit << bit)
-                    gw[row0 + W_WORDS, :, :] = (
-                        gw[row0 + W_WORDS, :, :] | (hit << w)
-                    )
-                    slot = ii * MAXT_INST + nt
-                    tl_s[jax.lax.shift_right_logical(slot, 7),
-                         slot & 127] = tid
-                return (tm & (tm - 1), nt + 1)
-
-            tm, nt = jax.lax.while_loop(
-                lambda c: c[0] != 0, bit_body, (tm0, nt)
-            )
-            return nt
-
-        outs = []
-        for ii in range(n_inst):
-            outs.append(jax.lax.cond(
-                (jax.lax.shift_right_logical(imask, ii) & 1) == 1,
-                lambda nt, ii=ii: inst_step(nt, ii),
-                lambda nt: nt,
-                nts[ii],
-            ))
-        return tuple(outs)
-
-    jax.lax.fori_loop(
-        0, nsegs, seg_body, (jnp.int32(0),) * n_inst
-    )
-
-    # ---- phase B: instance-outer, group-inner refined sweeps.  The
-    # instance loop is static, so the group's 8 local rays come from an
-    # INCREMENTAL static roll (shift -1 per group step, carried in
-    # registers) instead of 7 dynamic rolls per slot — the dynamic rolls
-    # were ~55% of the per-sweep cost (scripts/stream_micro.py).
+    # ---- phases A+B, INTERLEAVED PER INSTANCE (v7).  v6 ran phase A
+    # for every instance, then phase B for every instance; v7 processes
+    # one instance end-to-end and clips the NEXT instance's slab exits by
+    # the running per-member best t:
+    #
+    #     far_eff(member) = min(root_exit, t_cap, acc_t(member))
+    #
+    # A slot can only improve a member's hit if its entry is below that
+    # member's current best, so the clip is EXACT, per-member, and pure
+    # vector algebra — no scalar reduces in any loop condition (an
+    # "all 8 members occluded" scalar-reduce exit measured 22% slower
+    # end-to-end; this formulation gets cross-instance termination for
+    # free).  Effects: groups resolved in an earlier instance set no
+    # bits in later instances (phase-B sweeps skipped via the existing
+    # summary==0 gate), and in any-hit mode a hit member's acc_t of 0
+    # fails every later slab — whole shadow groups go dark.  Rays are
+    # instance-sorted, so most of a block's rays resolve in one
+    # instance and later instances' sweeps vanish.
+    #
+    # Phase A for instance ii: dense tile slot list (tl_s, instance-
+    # local slots) + per-group bit matrix.  Row w of gw holds slot word
+    # w across the 128 groups; row W_WORDS is the per-group summary
+    # (bit w set iff word w has any bit) — phase B skips empty
+    # words/groups on one scalar read.
     acc_t = jnp.full((GROUP, LANES), BIG, jnp.float32)
     acc_id = jnp.full((GROUP, LANES), -1, jnp.int32)
 
-    if skip_b:  # phase-timing debug mode: emit phase-A state, no sweeps
-        t_out[0] = acc_t + gw[0, :, :] .astype(jnp.float32) * 0.0
-        id_out[0] = acc_id
-        return
-
     for ii in range(n_inst):
-        row0 = ii * (W_WORDS + 1)
-
-        def inst_sweeps(carry, ii=ii, row0=row0):
+        def inst_all(carry, ii=ii):
             acc_t, acc_id = carry
-            # this instance's bit rows -> the shared SMEM buffer
-            cp = pltpu.make_async_copy(
-                gw.at[row0:row0 + W_WORDS + 1], gw_s, sems.at[0]
-            )
+            for iw in range(W_WORDS + 1):
+                gw[iw, :, :] = jnp.zeros((1, LANES), jnp.int32)
+
+            near0 = lr_scr[ii, 9]
+            # cross-instance termination: clip by the running bests
+            far0 = jnp.minimum(lr_scr[ii, 10], acc_t)
+            slab_rows = [(lr_scr[ii, i], lr_scr[ii, 6 + i])
+                         for i in range(3)]
+
+            def seg_body(j, nt):
+                seg = segs_ref[0, 0, j]
+                tm0 = tilemask_ref[0, 0, seg * n_inst + ii]
+
+                # HIERARCHICAL GATE: one per-ray [8,128] slab over the
+                # whole SEGMENT's AABB (union of its SEG_TILES slot
+                # boxes) before the up-to-16 per-slot tests.  The XLA
+                # block frustum is nearly useless on incoherent bounce
+                # rays (direction spread unbounds it — measured: phase A
+                # tested ~40% of ALL (instance, slot) pairs per block),
+                # while the per-ray segment test kills most segments
+                # outright.  Skipped segments allocate no slots: nt is a
+                # pure within-block counter, and gw/tl_s stay consistent
+                # because both are written under the same allocation.
+                s_near = near0
+                s_far = far0
+                for i in range(3):
+                    ol, inv = slab_rows[i]
+                    ta = (segb_ref[i, seg] - ol) * inv
+                    tb = (segb_ref[3 + i, seg] - ol) * inv
+                    s_near = jnp.maximum(s_near, jnp.minimum(ta, tb))
+                    s_far = jnp.minimum(s_far, jnp.maximum(ta, tb))
+                seg_live = jnp.any(s_far >= s_near)
+
+                def slab(tid):
+                    # EXACT per-ray slab test ([8, 128]: member x group)
+                    # — a group frustum over 8 compaction-scattered rays
+                    # covers ~8x more tiles than the union of its rays
+                    # (measured 242 vs ~30 tiles/group on bounce-1
+                    # rays); per-ray costs the same vreg ops, and the
+                    # axis-0 fold gives the minimal per-group mask for
+                    # 8-ray sweeps.
+                    near = near0
+                    farv = far0
+                    for i in range(3):
+                        b_lo = tileb_ref[i, tid]
+                        b_hi = tileb_ref[3 + i, tid]
+                        ol, inv = slab_rows[i]
+                        ta = (b_lo - ol) * inv
+                        tb = (b_hi - ol) * inv
+                        near = jnp.maximum(near, jnp.minimum(ta, tb))
+                        farv = jnp.minimum(farv, jnp.maximum(ta, tb))
+                    return jnp.any(farv >= near, axis=0, keepdims=True
+                                   ).astype(jnp.int32)     # [1, LANES]
+
+                def bit_body(c):
+                    # TWO slots per iteration (independent slab chains
+                    # the scheduler interleaves — same latency-hiding
+                    # trick as phase B's paired sweeps); the second
+                    # slot's bookkeeping is predicated on has2.
+                    tm, nt = c
+                    nz1 = tm & (-tm)
+                    k1 = 31 - jax.lax.clz(nz1)
+                    t1 = tm & (tm - 1)
+                    has2 = t1 != 0
+                    nz2 = t1 & (-t1)
+                    k2 = jnp.where(has2, 31 - jax.lax.clz(nz2 | nz1), k1)
+                    tm_next = jnp.where(has2, t1 & (t1 - 1), t1)
+                    tid1 = seg * SEG_TILES + k1
+                    tid2 = seg * SEG_TILES + k2
+                    hit1 = slab(tid1)
+                    hit2 = slab(tid2)
+
+                    @pl.when(nt < MAXT_INST)
+                    def _():
+                        w = nt // 32
+                        bit = nt - w * 32
+                        gw[w, :, :] = gw[w, :, :] | (hit1 << bit)
+                        gw[W_WORDS, :, :] = gw[W_WORDS, :, :] | (hit1 << w)
+                        tl_s[jax.lax.shift_right_logical(nt, 7),
+                             nt & 127] = tid1
+
+                    n2 = nt + 1
+                    @pl.when(has2 & (n2 < MAXT_INST))
+                    def _():
+                        w = n2 // 32
+                        bit = n2 - w * 32
+                        gw[w, :, :] = gw[w, :, :] | (hit2 << bit)
+                        gw[W_WORDS, :, :] = gw[W_WORDS, :, :] | (hit2 << w)
+                        tl_s[jax.lax.shift_right_logical(n2, 7),
+                             n2 & 127] = tid2
+                    return (tm_next, jnp.where(has2, nt + 2, nt + 1))
+
+                return jax.lax.cond(
+                    seg_live,
+                    lambda nt: jax.lax.while_loop(
+                        lambda c: c[0] != 0, bit_body, (tm0, nt))[1],
+                    lambda nt: nt,
+                    nt,
+                )
+
+            jax.lax.fori_loop(0, nsegs, seg_body, jnp.int32(0))
+
+            if skip_b:  # phase-timing debug mode: no sweeps
+                return (acc_t + gw[0, :, :].astype(jnp.float32) * 0.0,
+                        acc_id)
+
+            # ---- phase B for this instance: group-inner refined
+            # sweeps.  The instance loop is static, so the group's 8
+            # local rays come from an INCREMENTAL static roll (shift -1
+            # per group step, carried in registers) instead of 7 dynamic
+            # rolls per slot — the dynamic rolls were ~55% of the
+            # per-sweep cost (scripts/stream_micro.py).
+            cp = pltpu.make_async_copy(gw, gw_s, sems.at[0])
             cp.start()
             cp.wait()
             rows0 = tuple(lr_scr[ii, c] for c in range(6)) + (t_cap,)
@@ -533,42 +590,75 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
                           for r in rows]
                     o_l, d_l, g_cap = bc[0:3], bc[3:6], bc[6]
 
-                    best_t = jnp.full((GROUP, LANES), BIG, jnp.float32)
-                    best_id = jnp.full((GROUP, LANES), -1, jnp.int32)
+                    # TWO independent accumulator pairs: a single sweep
+                    # is a serial ~37-op dependency chain (t -> p ->
+                    # u,v -> select), so per-sweep time is VPU-LATENCY
+                    # bound, not issue bound (Baldwin-Weber's 61 -> 37
+                    # op cut measured ~0 end-to-end).  Each bit-loop
+                    # iteration therefore sweeps TWO slots with disjoint
+                    # accumulators — two independent chains the
+                    # scheduler interleaves.  When only one bit remains
+                    # the second sweep re-tests the same tile into acc2:
+                    # idempotent-by-merge (same hits, min-merged below;
+                    # strict tc < best_t keeps per-acc tie order).
+                    bt1 = jnp.full((GROUP, LANES), BIG, jnp.float32)
+                    bi1 = jnp.full((GROUP, LANES), -1, jnp.int32)
+                    bt2 = jnp.full((GROUP, LANES), BIG, jnp.float32)
+                    bi2 = jnp.full((GROUP, LANES), -1, jnp.int32)
 
                     def word_body(c):
-                        summ, best_t, best_id = c
+                        summ, bt1, bi1, bt2, bi2 = c
                         nzw = summ & (-summ)
                         w_idx = 31 - jax.lax.clz(nzw)
 
                         def bit_body(c):
-                            word, best_t, best_id = c
-                            nz = word & (-word)
-                            b = 31 - jax.lax.clz(nz)
-                            slot = ii * MAXT_INST + w_idx * 32 + b
-                            sid = tl_s[
-                                jax.lax.shift_right_logical(slot, 7),
-                                slot & 127]
+                            word, bt1, bi1, bt2, bi2 = c
+                            nz1 = word & (-word)
+                            b1 = 31 - jax.lax.clz(nz1)
+                            w1 = word & (word - 1)
+                            has2 = w1 != 0
+                            nz2 = w1 & (-w1)
+                            b2 = jnp.where(
+                                has2,
+                                31 - jax.lax.clz(nz2 | nz1), b1)
+                            w2 = jnp.where(has2, w1 & (w1 - 1), w1)
+                            s1 = w_idx * 32 + b1
+                            s2 = w_idx * 32 + b2
+                            sid1 = tl_s[
+                                jax.lax.shift_right_logical(s1, 7),
+                                s1 & 127]
+                            sid2 = tl_s[
+                                jax.lax.shift_right_logical(s2, 7),
+                                s2 & 127]
                             # a cull slot covers tps adjacent tiles
                             for dt in range(tps):
-                                best_t, best_id = _sweep_tile(
-                                    tri_ref, sid * tps + dt, o_l, d_l,
-                                    g_cap, best_t, best_id, ii,
+                                bt1, bi1 = _sweep_tile(
+                                    tri_ref, sid1 * tps + dt, o_l, d_l,
+                                    g_cap, bt1, bi1, ii,
                                     t_min=t_min, any_hit=any_hit,
                                 )
-                            return (word & (word - 1), best_t, best_id)
+                                bt2, bi2 = _sweep_tile(
+                                    tri_ref, sid2 * tps + dt, o_l, d_l,
+                                    g_cap, bt2, bi2, ii,
+                                    t_min=t_min, any_hit=any_hit,
+                                )
+                            return (w2, bt1, bi1, bt2, bi2)
 
                         w0 = gw_s[w_idx, 0, g]
-                        _, best_t, best_id = jax.lax.while_loop(
+                        _, bt1, bi1, bt2, bi2 = jax.lax.while_loop(
                             lambda c: c[0] != 0, bit_body,
-                            (w0, best_t, best_id),
+                            (w0, bt1, bi1, bt2, bi2),
                         )
-                        return (summ & (summ - 1), best_t, best_id)
+                        return (summ & (summ - 1), bt1, bi1, bt2, bi2)
 
-                    _, best_t, best_id = jax.lax.while_loop(
+                    _, bt1, bi1, bt2, bi2 = jax.lax.while_loop(
                         lambda c: c[0] != 0, word_body,
-                        (summary, best_t, best_id),
+                        (summary, bt1, bi1, bt2, bi2),
                     )
+                    # merge the two chains (acc1 wins ties: it held the
+                    # lower bit, i.e. the serial order's first visit)
+                    best_id = jnp.where(bt2 < bt1, bi2, bi1)
+                    best_t = jnp.minimum(bt1, bt2)
 
                     # lane-reduce the group's bests, merge into block acc
                     t_min_l = jnp.min(best_t, axis=1, keepdims=True)
@@ -598,7 +688,7 @@ def _kernel(nseg_ref, segs_ref, tilemask_ref, instmask_ref,
 
         acc_t, acc_id = jax.lax.cond(
             (jax.lax.shift_right_logical(imask, ii) & 1) == 1,
-            inst_sweeps,
+            inst_all,
             lambda c: c,
             (acc_t, acc_id),
         )
@@ -643,6 +733,12 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
     # an (8, 128)-tiled layout, so the big axis must be LAST (a [NT, 6]
     # layout lane-pads 6 -> 128: 450 KB of the 1 MB SMEM for nothing).
     tileb_flat = tilebox.transpose(1, 0, 2).reshape(6, s * SEG_TILES)
+    # per-SEGMENT boxes (union of the segment's slots) for phase A's
+    # hierarchical gate; padding slots are +BIG/-BIG so they vanish.
+    segb = jnp.concatenate(
+        [jnp.min(tilebox[:, 0:3, :], axis=2),
+         jnp.max(tilebox[:, 3:6, :], axis=2)], axis=1,
+    ).T                                                  # [6, S]
 
     # Exact host-side overflow count: per-(block, instance) slots beyond
     # MAXT_INST are dropped by the kernel (hits can be missed) —
@@ -694,6 +790,7 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
             blk_smem(1),            # instmask
             smem,                   # w2l [n_inst, 12]
             smem,                   # rootb [6]
+            smem,                   # segb [6, S]
             smem,                   # tileb_flat [6, NT]
             vmem_full,              # tri_tiles [NT, ROWS, TILE]
             ray_spec,               # rays
@@ -705,10 +802,9 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
         ],
         scratch_shapes=[
             pltpu.VMEM((n_inst, 11, GROUP, LANES), jnp.float32),  # lr_scr
-            pltpu.VMEM((n_inst * (W_WORDS + 1), 1, LANES), jnp.int32),
+            pltpu.VMEM((W_WORDS + 1, 1, LANES), jnp.int32),       # gw
             pltpu.SMEM((W_WORDS + 1, 1, LANES), jnp.int32),       # gw_s
-            pltpu.SMEM((-(-(n_inst * MAXT_INST) // 128), 128),
-                       jnp.int32),                                # tl_s
+            pltpu.SMEM((-(-MAXT_INST // 128), 128), jnp.int32),   # tl_s
             pltpu.SemaphoreType.DMA((1,)),
         ],
         # The whole tri-tile table is VMEM-resident (MAX_STREAM_TRIS = 48
@@ -720,7 +816,7 @@ def _call(w2l, root_lo, root_hi, tilebox, tri_tiles, o, d, t_max, *,
     )(
         nseg.reshape(-1, 1, 1), segs.reshape(-1, 1, s),
         tilemask.reshape(-1, 1, s * n_inst), instmask.reshape(-1, 1, 1),
-        w2l_flat, rootb, tileb_flat, tri_tiles, rays,
+        w2l_flat, rootb, segb, tileb_flat, tri_tiles, rays,
     )
     # [B, GROUP(m), 128(g)] -> ray-major: r = b*BLOCK + g*GROUP + m
     t = t.transpose(0, 2, 1).reshape(-1)[:r]

@@ -315,12 +315,15 @@ LUCY_POSITIONS = [
 ]
 
 
-def cornell_box_lucy(n_instances: int = 10, mesh_detail=(48, 40)):
+def cornell_box_lucy(n_instances: int = 10, mesh_detail=(48, 40),
+                     roughness: float = 0.0):
     """10 transformed instances of a shared mesh (rt/scenes.go:713-817).
 
     The reference's lucy_low.obj is a git-lfs stub in this checkout, so a
     procedural stand-in statue is synthesized (io/obj.py).  ``mesh_detail``
-    = (segments, rings) controls its triangle count.
+    = (segments, rings) controls its triangle count; ``roughness`` > 0
+    displacement-noises the lathe into an irregular scanned-statue-like
+    surface (bench config cornell-lucy-rough).
     """
     b = SceneBuilder()
     white = b.lambertian((0.73, 0.73, 0.73))
@@ -337,7 +340,8 @@ def cornell_box_lucy(n_instances: int = 10, mesh_detail=(48, 40)):
     if os.path.isfile(path) and not obj_mod.is_lfs_stub(path):
         verts, tris = obj_mod.load_obj(path)
     else:
-        verts, tris = obj_mod.lucy_standin(*mesh_detail)
+        verts, tris = obj_mod.lucy_standin(*mesh_detail,
+                                           roughness=roughness)
     proto = b.mesh(verts, tris)
     for pos, rot in LUCY_POSITIONS[:n_instances]:
         xf = Affine.trs(scale=(0.15, 0.15, 0.15), rotation_deg=(0, rot, 0), position=pos)
