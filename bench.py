@@ -164,6 +164,9 @@ def main_all():
 
 
 def main():
+    """Emits TWO JSON lines: forward, then BASELINE.md's literal headline
+    (Mrays/s/chip forward+backward on Cornell) LAST so the driver's
+    parsed metric is the fwd+bwd number."""
     import go_raytracing_tpu as grt
 
     accum, mrays, wall, cam = bench_scene("cornell", ALL_CONFIGS["cornell"])
@@ -178,6 +181,7 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline_mrays, 2),
     }))
+    main_grad()
 
 
 if __name__ == "__main__":

@@ -43,19 +43,32 @@ def main():
     )
     n_dev = len(jax.devices())
     counts = [n for n in (1, 2, 4, 8) if n <= n_dev]
-    results = multihost.scaling_report(scene, cam, spp=args.spp,
-                                       device_counts=counts)
+
+    def rounded(rs):
+        return [{k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in r.items()} for r in rs]
+
+    strong = multihost.scaling_report(scene, cam, spp=args.spp,
+                                      device_counts=counts, mode="strong")
+    weak = multihost.scaling_report(scene, cam, spp=args.spp,
+                                    device_counts=counts, mode="weak")
     entry = dict(
         platform=jax.default_backend(),
         scene=args.scene,
         width=args.width,
         spp=args.spp,
         devices_available=n_dev,
-        results=[
-            {k: (round(v, 4) if isinstance(v, float) else v)
-             for k, v in r.items()}
-            for r in results
-        ],
+        caveat=(
+            "virtual host-platform devices SHARE this box's cores: "
+            "per-'device' compute shrinks as N grows, so neither mode "
+            "demonstrates nor refutes the >=80% 1->4-host TPU target "
+            "here; they validate the sharded program end-to-end. The "
+            "TPU-side argument is comm_analysis: measured single-chip "
+            "rates vs the psum payload over published link bandwidths."
+        ),
+        strong_scaling=rounded(strong),
+        weak_scaling=rounded(weak),
+        comm_analysis=multihost.comm_analysis(scene, cam, n_devices=4),
     )
 
     existing = {}
