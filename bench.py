@@ -57,8 +57,10 @@ def bench_scene(name, cfg):
         samples_per_pixel=cfg["spp"], max_depth=cfg["depth"],
     )
     spp = cam.samples_per_pixel
-    chunk = min(pick_chunk_size(scene), cam.image_width * cam.image_height * spp)
-    chunk = max(1024, (chunk // 1024) * 1024)
+    # Let render() pick and sample-round the chunk itself: rounding DOWN
+    # to 1024 here forced a 0.9M-ray job into 2 launches (two ~28 ms
+    # dispatch floors) — render's own rounding covers it in one.
+    chunk = None
     float(grt.render(scene, cam, spp=spp, seed=0, chunk=chunk).sum())  # compile+warm
 
     def once():
@@ -109,10 +111,18 @@ def bench_grad():
     spp = cam.samples_per_pixel
     target = np.asarray(grt.render(scene, cam, spp=spp, seed=7)) / spp
 
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def checksum(loss, grads):
+        return loss + sum(jnp.sum(g) for g in grads.values())
+
     def run():
         loss, grads = render_grad(scene, cam, target, spp=spp, seed=0)
-        # force materialization through the tunnel
-        s = float(loss) + sum(float(np.asarray(g).sum()) for g in grads.values())
+        # ONE device->host fetch: per-array float() pulls cost a ~28 ms
+        # tunnel roundtrip EACH (6 grads = ~170 ms of pure latency)
+        s = float(checksum(loss, grads))
         return loss, s
 
     run()  # compile + warm

@@ -60,10 +60,10 @@ FIREFLY = np.float32(20.0)
 INTERPRET = False
 
 # Table row indices ------------------------------------------------------
-PT_ROWS = 29  # planar: n(3) d q(3) vxw(3) wxu(3) rad2 kind mat tex fuzz ior col(3) even(3) odd(3) scale
-ST_ROWS = 21  # sphere: c(3) vel(3) rad2 mat tex fuzz ior col(3) even(3) odd(3) scale
-VT_ROWS = 24  # volume: w2l(12) bmin(3) bmax(3) nid mat tex col(3)
-LT_ROWS = 16  # light: q(3) u(3) v(3) n(3) area em(3)
+PT_ROWS = 30  # planar: n(3) d q(3) vxw(3) wxu(3) rad2 kind [14 mat rows] + tex id (grad routing)
+ST_ROWS = 22  # sphere: c(3) vel(3) rad2 [14 mat rows] + tex id (grad routing)
+VT_ROWS = 25  # volume: w2l(12) bmin(3) bmax(3) nid mat tex col(3) + tex id
+LT_ROWS = 17  # light: q(3) u(3) v(3) n(3) area em(3) + tex id
 
 SPH_SEG = int(_os.environ.get("GRT_MEGA_SPH_SEG", "16"))
 # ^ spheres per cullable segment (Morton-sorted).  16 measured best on
@@ -131,6 +131,7 @@ def _mat_rows(materials, textures, mat_ids):
         textures.even_color[:, 0][tex], textures.even_color[:, 1][tex], textures.even_color[:, 2][tex],
         textures.odd_color[:, 0][tex], textures.odd_color[:, 1][tex], textures.odd_color[:, 2][tex],
         scale,
+        tex.astype(jnp.float32),  # grad-kernel cotangent routing
     ]
 
 
@@ -213,6 +214,7 @@ def build_tables(scene):
                scene.materials.kind[v.mat].astype(jnp.float32),
                scene.textures.kind[vtex].astype(jnp.float32)]
             + [scene.textures.color[:, i][vtex] for i in range(3)]
+            + [vtex.astype(jnp.float32)]
         )
         vt = _pad_cols(rows, n_vol)
     else:
@@ -231,6 +233,7 @@ def build_tables(scene):
             + [scene.light_normal[:, i] for i in range(3)]
             + [scene.light_area]
             + lem
+            + [scene.materials.tex[scene.light_mat].astype(jnp.float32)]
         )
         lt = _pad_cols(rows, n_lights)
     else:
@@ -260,7 +263,8 @@ def _pcg3d(x, y, z):
 
 
 def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
-                max_depth, resume=False, use_hdri=False, rec_dec=False):
+                max_depth, resume=False, use_hdri=False, rec_dec=False,
+                grad_mode=False, n_tex=0, miss_cfg=("flat", 0.0, 0.0, 0.0)):
     use_nee = n_lights > 0
     f24 = np.float32(2.0 ** -24)
 
@@ -287,6 +291,18 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
              *hdri_refs,
              ox, oy, oz, dx, dy, dz, tmr, stream_ref,
              rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl, dref) = refs
+        elif grad_mode:
+            # Gradient variant (see DESIGN.md "gradient megakernel"):
+            # inputs add the per-ray loss cotangent rows g (= dL/d(rad));
+            # outputs are the radiance rows (validation) + one flat
+            # per-block parameter-gradient vector; trailing refs are the
+            # per-bounce stash scratch (f32 + i32).
+            (pt, st, sb, vt, lt,
+             ox, oy, oz, dx, dy, dz, tmr, stream_ref,
+             gxr, gyr, gzr,
+             rr, rg, rb, gout,
+             stash_f, stash_i, gacc) = refs
+            hdri_refs = []
         else:
             (pt, st, sb, vt, lt,
              *hdri_refs,
@@ -327,7 +343,9 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 
         # attribute slots (merged winner constants)
         N_GEO = 7   # pn(3) sc(3) rad2
-        N_MAT = 7 + (7 if has_checker else 0)
+        N_MAT = 7 + (7 if has_checker else 0) + (1 if grad_mode else 0)
+        # grad mode appends the winner's TEX ID as the last attr (routes
+        # parameter cotangents back to texture-table slots)
 
         def planar_sweep(o, d, t_best, hitk, attrs, record, hidx=None):
             def body(j, carry):
@@ -369,6 +387,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     if has_checker:
                         vals += [pt[22, j], pt[23, j], pt[24, j],
                                  pt[25, j], pt[26, j], pt[27, j], pt[28, j]]
+                    if grad_mode:
+                        vals += [pt[29, j]]
                     attrs = [jnp.where(upd, v + zero, a_) for v, a_ in zip(vals, attrs)]
                 if hidx is None:
                     return t_best, hitk, attrs
@@ -381,6 +401,13 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                      init)
 
         def sphere_sweep(o, d, tmv, t_best, hitk, attrs, record, hidx=None):
+            # TWO independent accumulator sets, even/odd sphere columns:
+            # the per-sphere quadratic+select chain serializes through
+            # t_best (~5 cycles/op measured latency stall on RandomScene);
+            # disjoint chains let the scheduler interleave them.  Both
+            # start from the incoming carry, so the final min-merge (acc1
+            # wins ties) reproduces the serial sweep's strict-< winner
+            # order except for exact cross-parity t ties (measure zero).
             a_coef = dot3(d, d)
             inv_a = 1.0 / a_coef
 
@@ -414,6 +441,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     if has_checker:
                         matv += [st[14, j], st[15, j], st[16, j],
                                  st[17, j], st[18, j], st[19, j], st[20, j]]
+                    if grad_mode:
+                        matv += [st[21, j]]
                     vals = new_geo + [zero + v for v in matv]
                     attrs = [jnp.where(upd, v, a_) for v, a_ in zip(vals, attrs)]
                 if hidx is None:
@@ -421,11 +450,37 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 hx = jnp.where(upd, j, hx)
                 return t_best, hitk, attrs, hx
 
+            def body2(jj, carry2):
+                c1, c2 = carry2
+                c1 = body(2 * jj, c1)
+                c2 = body(2 * jj + 1, c2)
+                return (c1, c2)
+
+            def merge(c1, c2):
+                if hidx is None:
+                    t1, h1, a1 = c1
+                    t2, h2, a2 = c2
+                else:
+                    t1, h1, a1, x1 = c1
+                    t2, h2, a2, x2 = c2
+                w2 = t2 < t1
+                t = jnp.where(w2, t2, t1)
+                hk = jnp.where(w2, h2, h1)
+                am = [jnp.where(w2, v2, v1) for v1, v2 in zip(a1, a2)]
+                if hidx is None:
+                    return t, hk, am
+                return t, hk, am, jnp.where(w2, x2, x1)
+
             init = ((t_best, hitk, attrs) if hidx is None
                     else (t_best, hitk, attrs, hidx))
             if not n_sph_seg:
-                return jax.lax.fori_loop(0, st.shape[1] if n_sphere else 0,
-                                         body, init)
+                n_cols = st.shape[1] if n_sphere else 0
+                c1, c2 = jax.lax.fori_loop(0, n_cols // 2, body2,
+                                           (init, init))
+                out = merge(c1, c2)
+                if n_cols % 2:
+                    out = body(n_cols - 1, out)
+                return out
 
             # Segment-culled sweep: spheres are Morton-sorted, so each
             # SPH_SEG-column segment is spatially tight; skip segments whose
@@ -447,16 +502,23 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                         far = jnp.minimum(far, jnp.maximum(ta, tb))
                     return jnp.any(far > near)
 
-                def do_seg(carry):
-                    def sub(jj, carry):
-                        return body(si * SPH_SEG + jj, carry)
+                def do_seg(carry2):
+                    def sub(jj, carry2):
+                        c1, c2 = carry2
+                        c1 = body(si * SPH_SEG + 2 * jj, c1)
+                        c2 = body(si * SPH_SEG + 2 * jj + 1, c2)
+                        return (c1, c2)
 
-                    return jax.lax.fori_loop(0, SPH_SEG, sub, carry)
+                    return jax.lax.fori_loop(0, SPH_SEG // 2, sub, carry2)
 
-                return jax.lax.cond(seg_any(carry[0]), do_seg,
+                # conservative skip: the segment must be unreachable for
+                # BOTH accumulators' current bests
+                cap2 = jnp.maximum(carry[0][0], carry[1][0])
+                return jax.lax.cond(seg_any(cap2), do_seg,
                                     lambda c_: c_, carry)
 
-            return jax.lax.fori_loop(0, n_sph_seg, seg_body, init)
+            c1, c2 = jax.lax.fori_loop(0, n_sph_seg, seg_body, (init, init))
+            return merge(c1, c2)
 
         def volume_window(o, d, vi):
             olc, dlc = [], []
@@ -553,6 +615,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                         vt[21, vi] + zero, vt[22, vi] + zero, vt[23, vi] + zero]
                 if has_checker:
                     vals += [zero] * 7
+                if grad_mode:
+                    vals += [vt[24, vi] + zero]
                 attrs = [jnp.where(win, v, a_) for v, a_ in zip(vals, attrs)]
 
             lit = alive & ~hit
@@ -586,6 +650,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             ior = jnp.maximum(attrs[N_GEO + 3], 1e-3)
             col = [attrs[N_GEO + 4], attrs[N_GEO + 5], attrs[N_GEO + 6]]
             albedo = col
+            variant = zero  # 0 solid, 1 checker-even, 2 checker-odd
             if has_checker:
                 even = [attrs[N_GEO + 7 + c] for c in range(3)]
                 odd = [attrs[N_GEO + 10 + c] for c in range(3)]
@@ -598,6 +663,9 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 albedo = [
                     jnp.where(texkind == 1.0, checker[c], col[c]) for c in range(3)
                 ]
+                variant = jnp.where(texkind == 1.0,
+                                    jnp.where(is_even, zero + 1.0, zero + 2.0),
+                                    zero)
 
             su1, su2, _ = uniform3(bounce_u, rngmod.SCATTER_U)
             zr = 1.0 - 2.0 * su1
@@ -655,6 +723,11 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 
             use_mis = (alive & hit & is_lam) if use_nee else false_v
             blk_a = blk_h = false_v
+            if grad_mode:
+                g_em_su = [zero * 1.0 for _ in range(3)]
+                g_alb_su = [zero * 1.0 for _ in range(3)]
+                g_clamped = [false_v for _ in range(3)]
+                g_lslot = zero - 3.0
             if use_nee:
                 up, _, _ = uniform3(bounce_u, rngmod.LIGHT_PICK)
                 li_f = jnp.minimum(jnp.floor(up * float(n_lights)),
@@ -686,6 +759,16 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 for c in range(3):
                     contrib = jnp.minimum(lsel[13 + c] * atten[c] * scale, FIREFLY)
                     rad[c] = rad[c] + jnp.where(ok, tp[c] * contrib, 0.0)
+                    if grad_mode:
+                        unclamped = (lsel[13 + c] * atten[c] * scale
+                                     < FIREFLY)
+                        okf = jnp.where(ok, zero + 1.0, zero)
+                        uf = jnp.where(unclamped, okf, zero)
+                        g_em_su[c] = lsel[13 + c] * scale * uf
+                        g_alb_su[c] = atten[c] * scale * uf
+                        g_clamped[c] = ok & ~unclamped
+                if grad_mode:
+                    g_lslot = lsel[16]
 
             if use_hdri:
                 # HDRI NEE: the importance sample (direction, emission,
@@ -733,7 +816,30 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 pk = pk | jnp.where(blk_h, 1 << 21, 0)
                 dref[bounce_u.astype(jnp.int32)] = pk
 
-            alive = alive & hit & scattered
+            alive_next = alive & hit & scattered
+            if grad_mode:
+                # Per-bounce stash for the in-kernel reverse sweep: with
+                # direction-parameter-independent materials (the grad
+                # gate), the adjoint of the whole path is a product-chain
+                # reverse recurrence over these rows (DESIGN.md).
+                b_i = bounce_u.astype(jnp.int32)
+                tex_attr = attrs[N_GEO + N_MAT - 1]
+                for c in range(3):
+                    stash_f[b_i, 0 + c] = tp[c]          # T_k
+                    stash_f[b_i, 3 + c] = atten[c]       # alb
+                    stash_f[b_i, 6 + c] = g_em_su[c]     # em*scale*uncl*ok
+                    stash_f[b_i, 9 + c] = g_alb_su[c]    # alb*scale*uncl*ok
+                slot = jnp.where(hit, tex_attr * 3.0 + variant, zero - 3.0)
+                stash_i[b_i, 0] = slot.astype(jnp.int32)
+                stash_i[b_i, 1] = (g_lslot * 3.0).astype(jnp.int32)
+                mk = (jnp.where(emit_mask, 1, 0)
+                      | jnp.where(alive_next, 2, 0)
+                      | jnp.where(lit, 4, 0)
+                      | jnp.where(g_clamped[0], 8, 0)
+                      | jnp.where(g_clamped[1], 16, 0)
+                      | jnp.where(g_clamped[2], 32, 0))
+                stash_i[b_i, 2] = mk
+            alive = alive_next
             for c in range(3):
                 tp[c] = jnp.where(alive, tp[c] * atten[c], tp[c])
                 o[c] = jnp.where(alive, p[c], o[c])
@@ -784,10 +890,100 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             # must read as HIT_NONE (= 0), not garbage.
             for b in range(max_depth):
                 dref[b] = jnp.zeros_like(dref[b])
+        if grad_mode:
+            # Early-exited blocks' unreached bounces must read as inert:
+            # masks 0 (all cotangent terms vanish) and slots -3.
+            for b in range(max_depth):
+                for rw in range(12):
+                    stash_f[b, rw] = zero * 1.0
+                stash_i[b, 0] = (zero_u & np.uint32(0)).astype(jnp.int32) - 3
+                stash_i[b, 1] = (zero_u & np.uint32(0)).astype(jnp.int32) - 9
+                stash_i[b, 2] = (zero_u & np.uint32(0)).astype(jnp.int32)
         state = jax.lax.while_loop(cond, bounce_body, state)
         (_, o, d, tp, rad, alive_f, allow_f, m_dir, m_tp, missed_f, m_prim_f) = state
         missed = missed_f > 0.5
         m_prim = m_prim_f > 0.5
+
+        if grad_mode:
+            # ---- miss radiance, in-kernel (the grad gate excludes env
+            # maps; sky gradient / flat background are parameter-free
+            # but enter the reverse recurrence through s_k at the lit
+            # bounce).  A lane misses at most once, so miss_col is one
+            # vector shared by every bounce's lit bit.
+            if miss_cfg[0] == "sky":
+                dl = jnp.sqrt(jnp.maximum(dot3(m_dir, m_dir), 1e-20))
+                aa = 0.5 * (m_dir[1] / dl + 1.0)
+                miss_col = [(1.0 - aa) + aa * 0.5,
+                            (1.0 - aa) + aa * 0.7,
+                            (1.0 - aa) + aa * 1.0]
+            else:
+                miss_col = [zero + np.float32(miss_cfg[1 + c])
+                            for c in range(3)]
+            miss_col = [jnp.where(missed, miss_col[c], zero)
+                        for c in range(3)]
+            for c in range(3):
+                rad[c] = rad[c] + m_tp[c] * miss_col[c]
+            rr[...] = rad[0]
+            rg[...] = rad[1]
+            rb[...] = rad[2]
+
+            # ---- reverse sweep: R_k = s_k + aeff_k * R_{k+1};
+            # cot(alb)_c = g_c T_c (R_c*alive_next + emit + em_su_c),
+            # cot(em)_c  = g_c T_c alb_su_c  -> light tex slot.
+            g = [gxr[...], gyr[...], gzr[...]]
+            R = [zero * 1.0, zero * 1.0, zero * 1.0]
+            gvec = jnp.zeros((8, LANES), jnp.float32)
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            l128 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            flat_i = r8 * LANES + l128
+            first_k = True
+            for k in range(max_depth - 1, -1, -1):
+                T = [stash_f[k, 0 + c] for c in range(3)]
+                alb = [stash_f[k, 3 + c] for c in range(3)]
+                em_su = [stash_f[k, 6 + c] for c in range(3)]
+                alb_su = [stash_f[k, 9 + c] for c in range(3)]
+                slot = stash_i[k, 0]
+                lslot = stash_i[k, 1]
+                mk = stash_i[k, 2]
+                emitf = jnp.where((mk & 1) > 0, zero + 1.0, zero)
+                alive_nf = jnp.where((mk & 2) > 0, zero + 1.0, zero)
+                litf = jnp.where((mk & 4) > 0, zero + 1.0, zero)
+                cot_alb, cot_lem, s = [], [], []
+                for c in range(3):
+                    clampf = jnp.where((mk & (8 << c)) > 0, zero + 1.0,
+                                       zero)
+                    s_c = (alb[c] * emitf + alb[c] * em_su[c]
+                           + FIREFLY * clampf + miss_col[c] * litf)
+                    s.append(s_c)
+                    cotb = g[c] * T[c]
+                    cot_alb.append(cotb * (R[c] * alive_nf + emitf
+                                           + em_su[c]))
+                    cot_lem.append(cotb * alb_su[c])
+                for c in range(3):
+                    aeff = alb[c] * alive_nf + (1.0 - alive_nf)
+                    R[c] = s[c] + aeff * R[c]
+                # accumulate per-slot cotangent rows in VMEM (gacc) —
+                # a full [BR,128]->scalar reduce per (bounce, slot,
+                # channel) cost ~17 us/block; summing masked VECTORS per
+                # bounce and lane-reducing ONCE at the end is ~20x less
+                for sc in range(3 * n_tex):
+                    am = slot == sc
+                    lm = lslot == sc
+                    for c in range(3):
+                        contrib = (jnp.where(am, cot_alb[c], 0.0)
+                                   + jnp.where(lm, cot_lem[c], 0.0))
+                        if first_k:
+                            gacc[sc * 3 + c] = contrib
+                        else:
+                            gacc[sc * 3 + c] = gacc[sc * 3 + c] + contrib
+                first_k = False
+            for sc in range(3 * n_tex):
+                for c in range(3):
+                    v = jnp.sum(gacc[sc * 3 + c])
+                    gvec = gvec + v * jnp.where(
+                        flat_i == (sc * 3 + c), 1.0, 0.0)
+            gout[...] = gvec
+            return
 
         rr[...] = rad[0]
         rg[...] = rad[1]
@@ -894,6 +1090,125 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
                ((pk >> 20) & 1) == 1, ((pk >> 21) & 1) == 1)
         return rad, m_dir, m_tp, missed, m_primary, dec
     return rad, m_dir, m_tp, missed, m_primary
+
+
+def grad_applicable(scene, max_depth: int) -> bool:
+    """Static gate for the GRADIENT megakernel: on top of applicable(),
+    every material's scatter DIRECTION must be parameter-independent
+    (lambertian / light / isotropic — no metal fuzz, no dielectric IOR),
+    there must be no environment map (its texel gradients need the XLA
+    quad-table path), and the flat slot space (3 variants x 3 channels
+    per texture) must fit the [8, 128] per-block gradient vector.  Under
+    the gate, fuzz/ior/atlas gradients are structurally zero and the
+    path adjoint is an exact product-chain reverse sweep (in-kernel)."""
+    import numpy as np
+
+    if not applicable(scene):
+        return False
+    if scene.env is not None:
+        return False
+    if max_depth > 12:
+        return False
+    kinds = np.asarray(scene.materials.kind)
+    if np.any((kinds == 1) | (kinds == 2)):   # metal / dielectric
+        return False
+    n_tex = int(scene.textures.color.shape[0])
+    return 9 * n_tex <= 8 * LANES
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
+                     "n_lights", "has_checker", "max_depth", "n_tex",
+                     "miss_cfg", "block_rows"),
+)
+def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, g, *, n_planar,
+               n_sphere, n_sph_seg, n_vol, n_lights, has_checker, max_depth,
+               n_tex, miss_cfg, block_rows=BLOCK_ROWS):
+    """Gradient megakernel launch.  g: [R, 3] loss cotangent per ray
+    (dL/d(radiance); zero for padding/invalid lanes).  Returns
+    (rad V3 [R], grads [n_tex, 3, 3]) where grads[t, v, c] is
+    d L / d theta[t, v, c] with v in (color, even_color, odd_color)."""
+    from ..core.vec3 import V3
+
+    oc = [o.x, o.y, o.z]
+    dc = [d.x, d.y, d.z]
+    r = oc[0].shape[0]
+    block = block_rows * LANES
+    padded = -(-r // block) * block
+    rows = padded // LANES
+
+    def prep(a, dtype=jnp.float32):
+        if padded != r:
+            a = jnp.pad(a, (0, padded - r))
+        return a.reshape(rows, LANES).astype(dtype)
+
+    rays = [prep(a) for a in oc + dc + [tm]] + [prep(stream, jnp.uint32)]
+    grows = [prep(g[:, c]) for c in range(3)]
+
+    grid = (rows // block_rows,)
+    n_blocks = rows // block_rows
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    gout_spec = pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
+                    has_checker, max_depth, grad_mode=True, n_tex=n_tex,
+                    miss_cfg=miss_cfg),
+        grid=grid,
+        in_specs=[smem] * 7 + [ray_spec] * 11,
+        out_specs=[out_spec] * 3 + [gout_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((max_depth, 12, block_rows, LANES), jnp.float32),
+            pltpu.VMEM((max_depth, 3, block_rows, LANES), jnp.int32),
+            pltpu.VMEM((9 * max(n_tex, 1), block_rows, LANES),
+                       jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(
+        jnp.asarray([n_planar, n_sphere], jnp.int32),
+        jnp.asarray([seed], jnp.uint32),
+        pt, st, sb, vt, lt, *rays, *grows,
+    )
+    flat = [x.reshape(-1)[:r] for x in outs[:3]]
+    rad = V3(flat[0], flat[1], flat[2])
+    gsum = outs[3].reshape(n_blocks, 8 * LANES).sum(axis=0)
+    grads = gsum[: 9 * n_tex].reshape(n_tex, 3, 3)
+    return rad, grads
+
+
+def grad_megakernel(scene, cam, o, d, tm, stream, seed, g):
+    """Run the gradient megakernel for one ray chunk (see grad_applicable
+    for the gate).  Returns (rad V3, dict of texture-table grads:
+    color / even_color / odd_color, each [n_tex, 3])."""
+    pt, st, sb, vt, lt, n_planar, n_sphere, n_sph_seg, n_vol, n_lights = (
+        build_tables(scene)
+    )
+    sg = jax.lax.stop_gradient
+    if scene.env is not None:
+        raise ValueError("grad megakernel excludes env scenes")
+    if cam.use_sky_gradient:
+        miss_cfg = ("sky", 0.0, 0.0, 0.0)
+    else:
+        bg = tuple(float(x) for x in np.asarray(cam.background).reshape(3))
+        miss_cfg = ("flat",) + bg
+    n_tex = int(scene.textures.color.shape[0])
+    rad, grads = _call_grad(
+        pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream, g,
+        n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
+        n_vol=n_vol, n_lights=n_lights,
+        has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),
+        n_tex=n_tex, miss_cfg=miss_cfg,
+    )
+    return rad, dict(color=grads[:, 0], even_color=grads[:, 1],
+                     odd_color=grads[:, 2])
 
 
 @functools.partial(

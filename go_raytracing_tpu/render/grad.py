@@ -90,6 +90,34 @@ def _record_chunk(scene: Scene, cam: Camera, accum, ray_start, seed, *,
 
 
 @partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth"))
+def _grad_kernel_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
+                       seed, *, spp: int, chunk: int, max_depth: int):
+    """One chunk of the GRADIENT MEGAKERNEL path: the whole fwd+bwd of
+    the bounce loop runs in one pallas kernel (ops/pallas_wavefront
+    grad_mode — gate: pallas_wavefront.grad_applicable).  Returns the
+    texture-table grads dict for the chunk.
+
+    ``g_virt``: [n_virt, 3] per-VIRTUAL-PIXEL loss cotangent (zeros on
+    out-of-bounds tile padding).  Chunks are sample-aligned, so the
+    per-ray cotangent is g_virt TILED chunk//n_virt times — a broadcast,
+    not the [chunk]-row gather g_fb[pixel] (which cost ~36 ms per 4M
+    chunk, comparable to the kernel itself)."""
+    from ..ops import pallas_wavefront as mega
+
+    cam2, o, d, tm, stream, pixel, valid = _chunk_rays(
+        scene, cam, ray_start, seed, spp=spp, chunk=chunk,
+        max_depth=max_depth)
+    n_virt = g_virt.shape[0]
+    assert chunk % n_virt == 0
+    g = jnp.broadcast_to(g_virt[None], (chunk // n_virt, n_virt, 3)
+                         ).reshape(chunk, 3)
+    g = jnp.where(valid[:, None], g, 0.0)
+    _, grads = mega.grad_megakernel(scene, cam2, o, d, tm, stream, seed, g)
+    return grads
+
+
+@partial(jax.jit,
          static_argnames=("cam", "spp", "chunk", "max_depth", "mega_mode"))
 def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
                spp: int, chunk: int, max_depth: int, dec=None,
@@ -167,6 +195,47 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     grads = jax.tree_util.tree_map(
         jnp.zeros_like, trainable_params(scene)
     )
+
+    # GRADIENT MEGAKERNEL path: for direction-parameter-independent
+    # scenes (lambertian/light/isotropic; no env) the whole fwd+bwd of a
+    # chunk runs in ONE pallas kernel — the path adjoint is an exact
+    # in-kernel product-chain reverse sweep, and fuzz/ior/atlas grads
+    # are structurally zero (ops/pallas_wavefront.grad_applicable).
+    # ~10x the XLA replay backward; equivalence tested vs it.
+    from ..ops import pallas_wavefront as mega
+
+    if (mega.grad_applicable(scene, max_depth)
+            and os.environ.get("GRT_NO_GRADKERNEL") != "1"):
+        kchunk = max(rmod.pick_chunk_size(scene), 1024)
+        kchunk = min(kchunk, max(1024, -(-total // 1024) * 1024))
+        kchunk = max(kchunk // n_virt, 1) * n_virt  # sample-aligned
+        fb = rmod.render(scene, cam, spp=spp, max_depth=max_depth,
+                         seed=seed, chunk=kchunk, stats=stats, sync=False)
+        resid = fb / spp - target
+        loss = jnp.mean(resid * resid)
+        g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
+        # per-virtual-pixel cotangent (one gather for tiled layouts, a
+        # no-op for untiled ones); chunks then tile it sample-wise.
+        tiled = rmod.scene_tiled(scene)
+        if tiled:
+            ids_v = jnp.arange(n_virt, dtype=jnp.uint32)
+            pxv, pyv, inb = rmod._id_to_pixel(ids_v, w, h, True)
+            pixv = jnp.minimum((pyv * w + jnp.minimum(pxv, w - 1)
+                                ).astype(jnp.uint32), w * h - 1)
+            g_virt = jnp.where(inb[:, None], g_fb_flat[pixv], 0.0)
+        else:
+            g_virt = g_fb_flat
+        pos = 0
+        while pos < total:
+            g = _grad_kernel_chunk(scene, cam, g_virt, jnp.uint32(pos),
+                                   seed, spp=spp, chunk=kchunk,
+                                   max_depth=max_depth)
+            for k in ("color", "even_color", "odd_color"):
+                grads[k] = grads[k] + g[k]
+            pos += kchunk
+        if stats is not None:
+            stats.chunks += -(-total // kchunk)
+        return loss, grads
 
     rec_mode = _record_mega_mode(scene, cam, chunk, max_depth)
     if keep_dec:
