@@ -43,6 +43,11 @@ ALL_CONFIGS = {
                                scene_kwargs=dict(mesh_detail=(256, 220),
                                                  roughness=0.35)),
     "cornell-smoke": dict(width=600, aspect=1.0, spp=25, depth=5),
+    # Gather-texture path (megakernel-excluded: per-ray procedural noise
+    # / image-atlas fetches run the standard integrator) — VERDICT r2
+    # weak #6 wanted on-chip numbers for it.
+    "perlin": dict(width=400, aspect=16 / 9, spp=25, depth=10),
+    "earth": dict(width=400, aspect=16 / 9, spp=25, depth=10),
 }
 
 

@@ -480,7 +480,7 @@ class SceneBuilder:
         textures = tex.TexturePack(
             jnp.asarray(kind), jnp.asarray(color), jnp.asarray(even),
             jnp.asarray(odd), jnp.asarray(inv_scale), jnp.asarray(noise_scale),
-            jnp.asarray(image_id), tex.make_perlin_tables(self._perlin_seed),
+            jnp.asarray(image_id),
             jnp.asarray(atlas), jnp.asarray(atlas_wh),
         )
 

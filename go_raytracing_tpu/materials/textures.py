@@ -11,7 +11,15 @@ Behavioral parity notes:
     (rt/texture.go:81-85).  The reference's Perlin uses *plain trilinear*
     interpolation of gradient dots (no Hermite smoothing, rt/noise.go:75-92)
     and gradient vectors that are normalized cube samples (rt/noise.go:19)
-    — both quirks reproduced.
+    — both quirks reproduced.  The gradient SOURCE is TPU-native: a
+    PCG3D hash of the lattice point instead of the reference's
+    permutation-table XOR lookup.  The reference's tables are filled
+    from an unseeded global RNG (its noise pattern differs run to run),
+    so only the STRUCTURE is parity-relevant — and the table path cost
+    336 per-ray gathers per turbulence eval on TPU (8 ns each: the
+    perlin scene rendered at 0.06 Mrays/s).  Hashed gradients are pure
+    VPU math: same distribution (normalized cube samples), same
+    interpolation, ~40x faster, and megakernel-compatible.
   - Image: nearest texel, v flipped, clamp addressing
     (rt/image_texture.go:26-41).
 """
@@ -31,13 +39,6 @@ TEX_NOISE = 2
 TEX_IMAGE = 3
 
 
-class PerlinTables(NamedTuple):
-    randvec: jnp.ndarray  # [256, 3] normalized cube samples
-    perm_x: jnp.ndarray   # [256] i32
-    perm_y: jnp.ndarray   # [256] i32
-    perm_z: jnp.ndarray   # [256] i32
-
-
 class TexturePack(NamedTuple):
     kind: jnp.ndarray        # [T] i32
     color: jnp.ndarray       # [T, 3] solid color
@@ -46,27 +47,43 @@ class TexturePack(NamedTuple):
     inv_scale: jnp.ndarray   # [T] checker 1/scale
     noise_scale: jnp.ndarray  # [T]
     image_id: jnp.ndarray    # [T] i32 index into atlas
-    perlin: PerlinTables
     atlas: jnp.ndarray       # [I, Hmax, Wmax, 3] f32 (I >= 1; dummy if unused)
     atlas_wh: jnp.ndarray    # [I, 2] i32 (width, height) of each image
 
 
-def make_perlin_tables(seed: int = 0) -> PerlinTables:
-    """Host-side table build mirroring NewPerlin (rt/noise.go:15-27):
-    256 gradients = normalized uniform cube samples, 3 permutations."""
-    rng = np.random.default_rng(seed)
-    g = rng.uniform(-1.0, 1.0, size=(256, 3))
-    g = g / np.linalg.norm(g, axis=-1, keepdims=True)
-    perms = [rng.permutation(256).astype(np.int32) for _ in range(3)]
-    return PerlinTables(
-        jnp.asarray(g, jnp.float32),
-        jnp.asarray(perms[0]),
-        jnp.asarray(perms[1]),
-        jnp.asarray(perms[2]),
-    )
+_PM = np.uint32(1664525)
+_PA = np.uint32(1013904223)
 
 
-def perlin_noise(tables: PerlinTables, p):
+def _lattice_grad(i, j, k):
+    """Gradient at integer lattice point (i, j, k): PCG3D-hashed
+    normalized cube sample (the reference's gradient distribution,
+    rt/noise.go:19, from an arithmetic hash instead of perm-table
+    gathers).  Inputs are i32 arrays of any shape; returns 3 arrays."""
+    x = i.astype(jnp.uint32) * _PM + _PA
+    y = j.astype(jnp.uint32) * _PM + _PA
+    z = k.astype(jnp.uint32) * _PM + _PA
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    x = x ^ (x >> np.uint32(16))
+    y = y ^ (y >> np.uint32(16))
+    z = z ^ (z >> np.uint32(16))
+    x = x + y * z
+    y = y + z * x
+    z = z + x * y
+    f24 = np.float32(2.0 ** -24)
+
+    def cube(v):
+        u = (v >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * f24
+        return 2.0 * u - 1.0
+
+    gx, gy, gz = cube(x), cube(y), cube(z)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-12))
+    return gx * inv, gy * inv, gz * inv
+
+
+def perlin_noise(p):
     """Gradient noise in [-1, 1]-ish for points p [R, 3] (rt/noise.go:29-56).
 
     Plain trilinear interpolation of corner-gradient dot products — the
@@ -80,25 +97,25 @@ def perlin_noise(tables: PerlinTables, p):
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                hx = tables.perm_x[(ijk[..., 0] + di) & 255]
-                hy = tables.perm_y[(ijk[..., 1] + dj) & 255]
-                hz = tables.perm_z[(ijk[..., 2] + dk) & 255]
-                grad = tables.randvec[hx ^ hy ^ hz]
+                gx, gy, gz = _lattice_grad(
+                    ijk[..., 0] + di, ijk[..., 1] + dj, ijk[..., 2] + dk)
                 weight_v = uvw - jnp.array([di, dj, dk], p.dtype)
                 wu = di * uvw[..., 0] + (1 - di) * (1.0 - uvw[..., 0])
                 wv = dj * uvw[..., 1] + (1 - dj) * (1.0 - uvw[..., 1])
                 ww = dk * uvw[..., 2] + (1 - dk) * (1.0 - uvw[..., 2])
-                accum = accum + wu * wv * ww * vec.dot(grad, weight_v)
+                dot = (gx * weight_v[..., 0] + gy * weight_v[..., 1]
+                       + gz * weight_v[..., 2])
+                accum = accum + wu * wv * ww * dot
     return accum
 
 
-def perlin_turb(tables: PerlinTables, p, depth: int = 7):
+def perlin_turb(p, depth: int = 7):
     """|fBm| turbulence (rt/noise.go:58-68)."""
     accum = jnp.zeros(p.shape[:-1], p.dtype)
     weight = 1.0
     pt = p
     for _ in range(depth):
-        accum = accum + weight * perlin_noise(tables, pt)
+        accum = accum + weight * perlin_noise(pt)
         weight *= 0.5
         pt = pt * 2.0
     return jnp.abs(accum)
@@ -138,7 +155,7 @@ def evaluate(pack: TexturePack, tex_id, u, v, p, *, has_noise=True, has_image=Tr
 
     if has_noise:
         scale = noise_scale
-        s = scale * p.z + 10.0 * perlin_turb_soa(pack.perlin, p * scale, 7)
+        s = scale * p.z + 10.0 * perlin_turb_soa(p * scale, 7)
         marble = 0.5 * (1.0 + jnp.sin(s))
         out = V3.select(kind == TEX_NOISE, V3(marble, marble, marble), out)
 
@@ -160,8 +177,9 @@ def evaluate(pack: TexturePack, tex_id, u, v, p, *, has_noise=True, has_image=Tr
     return out
 
 
-def perlin_noise_soa(tables: PerlinTables, p):
-    """SoA gradient noise (rt/noise.go:29-56): p is a V3 of [R] arrays."""
+def perlin_noise_soa(p):
+    """SoA gradient noise (rt/noise.go:29-56): p is a V3 of [R] arrays.
+    Gather-free: gradients come from _lattice_grad (pure VPU)."""
     fx, fy, fz = jnp.floor(p.x), jnp.floor(p.y), jnp.floor(p.z)
     u, v, w = p.x - fx, p.y - fy, p.z - fz
     i = fx.astype(jnp.int32)
@@ -172,13 +190,7 @@ def perlin_noise_soa(tables: PerlinTables, p):
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                hx = tables.perm_x[(i + di) & 255]
-                hy = tables.perm_y[(j + dj) & 255]
-                hz = tables.perm_z[(k + dk) & 255]
-                g = hx ^ hy ^ hz
-                gx = tables.randvec[:, 0][g]
-                gy = tables.randvec[:, 1][g]
-                gz = tables.randvec[:, 2][g]
+                gx, gy, gz = _lattice_grad(i + di, j + dj, k + dk)
                 dot = gx * (u - di) + gy * (v - dj) + gz * (w - dk)
                 wu = di * u + (1 - di) * (1.0 - u)
                 wv = dj * v + (1 - dj) * (1.0 - v)
@@ -187,13 +199,13 @@ def perlin_noise_soa(tables: PerlinTables, p):
     return accum
 
 
-def perlin_turb_soa(tables: PerlinTables, p, depth: int = 7):
+def perlin_turb_soa(p, depth: int = 7):
     """|fBm| turbulence, SoA (rt/noise.go:58-68)."""
     accum = jnp.zeros_like(p.x)
     weight = 1.0
     pt = p
     for _ in range(depth):
-        accum = accum + weight * perlin_noise_soa(tables, pt)
+        accum = accum + weight * perlin_noise_soa(pt)
         weight *= 0.5
         pt = pt * 2.0
     return jnp.abs(accum)

@@ -94,7 +94,6 @@ def applicable(scene, max_prims: int = 1024) -> bool:
     return (
         enabled()
         and not scene.meshes
-        and not scene.has_noise
         and not scene.has_image
         and scene.planar.d.shape[0] <= max_prims
         and scene.spheres.radius.shape[0] <= max_prims
@@ -135,7 +134,7 @@ def _mat_rows(materials, textures, mat_ids):
     ]
 
 
-def build_tables(scene):
+def build_tables(scene, sph_seg: int = SPH_SEG):
     """Scene -> (PT, ST, VT, LT) SMEM tables + counts."""
     p = scene.planar
     n_planar = int(p.d.shape[0])
@@ -178,23 +177,23 @@ def build_tables(scene):
             order = jnp.argsort(key)
             s = jax.tree_util.tree_map(lambda a: a[order], s)
 
-            n_sph_seg = -(-n_sphere // SPH_SEG)
+            n_sph_seg = -(-n_sphere // sph_seg)
             c1 = s.center + s.velocity
             lo = jnp.minimum(s.center, c1) - s.radius[:, None]
             hi = jnp.maximum(s.center, c1) + s.radius[:, None]
-            pad = n_sph_seg * SPH_SEG - n_sphere
+            pad = n_sph_seg * sph_seg - n_sphere
             lo = jnp.pad(lo, ((0, pad), (0, 0)), constant_values=BIG)
             hi = jnp.pad(hi, ((0, pad), (0, 0)), constant_values=-BIG)
             sb = jnp.stack(
-                [lo.reshape(n_sph_seg, SPH_SEG, 3).min(axis=1),
-                 hi.reshape(n_sph_seg, SPH_SEG, 3).max(axis=1)], axis=1,
+                [lo.reshape(n_sph_seg, sph_seg, 3).min(axis=1),
+                 hi.reshape(n_sph_seg, sph_seg, 3).max(axis=1)], axis=1,
             )
         rows = [
             s.center[:, 0], s.center[:, 1], s.center[:, 2],
             s.velocity[:, 0], s.velocity[:, 1], s.velocity[:, 2],
             s.radius * s.radius,
         ] + _mat_rows(scene.materials, scene.textures, s.mat)
-        target = max(n_sph_seg * SPH_SEG, -(-n_sphere // 8) * 8, 8)
+        target = max(n_sph_seg * sph_seg, -(-n_sphere // 8) * 8, 8)
         st = jnp.stack(
             [jnp.pad(r, (0, target - n_sphere)) for r in rows], axis=0
         )
@@ -264,7 +263,10 @@ def _pcg3d(x, y, z):
 
 def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 max_depth, resume=False, use_hdri=False, rec_dec=False,
-                grad_mode=False, n_tex=0, miss_cfg=("flat", 0.0, 0.0, 0.0)):
+                grad_mode=False, n_tex=0, miss_cfg=("flat", 0.0, 0.0, 0.0),
+                sph_seg=None, has_noise=False):
+    sph_seg = SPH_SEG if sph_seg is None else sph_seg
+    has_extra = has_checker or has_noise  # stream even/odd/scale attrs
     use_nee = n_lights > 0
     f24 = np.float32(2.0 ** -24)
 
@@ -343,7 +345,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 
         # attribute slots (merged winner constants)
         N_GEO = 7   # pn(3) sc(3) rad2
-        N_MAT = 7 + (7 if has_checker else 0) + (1 if grad_mode else 0)
+        N_MAT = 7 + (7 if has_extra else 0) + (1 if grad_mode else 0)
         # grad mode appends the winner's TEX ID as the last attr (routes
         # parameter cotangents back to texture-table slots)
 
@@ -384,7 +386,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     vals = [nx_j, ny_j, nz_j, 0.0, 0.0, 0.0, 1.0]
                     vals += [pt[15, j], pt[16, j], pt[17, j], pt[18, j],
                              pt[19, j], pt[20, j], pt[21, j]]
-                    if has_checker:
+                    if has_extra:
                         vals += [pt[22, j], pt[23, j], pt[24, j],
                                  pt[25, j], pt[26, j], pt[27, j], pt[28, j]]
                     if grad_mode:
@@ -438,7 +440,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     new_geo = [zero, zero, zero, ctx, cty, ctz, st[6, j] + zero]
                     matv = [st[7, j], st[8, j], st[9, j], st[10, j],
                             st[11, j], st[12, j], st[13, j]]
-                    if has_checker:
+                    if has_extra:
                         matv += [st[14, j], st[15, j], st[16, j],
                                  st[17, j], st[18, j], st[19, j], st[20, j]]
                     if grad_mode:
@@ -505,11 +507,11 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 def do_seg(carry2):
                     def sub(jj, carry2):
                         c1, c2 = carry2
-                        c1 = body(si * SPH_SEG + 2 * jj, c1)
-                        c2 = body(si * SPH_SEG + 2 * jj + 1, c2)
+                        c1 = body(si * sph_seg + 2 * jj, c1)
+                        c2 = body(si * sph_seg + 2 * jj + 1, c2)
                         return (c1, c2)
 
-                    return jax.lax.fori_loop(0, SPH_SEG // 2, sub, carry2)
+                    return jax.lax.fori_loop(0, sph_seg // 2, sub, carry2)
 
                 # conservative skip: the segment must be unreachable for
                 # BOTH accumulators' current bests
@@ -613,7 +615,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 vals = [zero, zero, zero, zero, zero, zero, zero + 1.0,
                         vt[19, vi] + zero, vt[20, vi] + zero, zero, zero + 1.0,
                         vt[21, vi] + zero, vt[22, vi] + zero, vt[23, vi] + zero]
-                if has_checker:
+                if has_extra:
                     vals += [zero] * 7
                 if grad_mode:
                     vals += [vt[24, vi] + zero]
@@ -666,6 +668,75 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 variant = jnp.where(texkind == 1.0,
                                     jnp.where(is_even, zero + 1.0, zero + 2.0),
                                     zero)
+            if has_noise:
+                # In-kernel marble (textures.evaluate noise branch):
+                # 0.5*(1+sin(scale*z + 10*turb(p*scale, 7))) with
+                # PCG3D-hashed lattice gradients — pure VPU math, exact
+                # same arithmetic as textures._lattice_grad, so images
+                # match the standard integrator bit-for-ulp.
+                nscale = attrs[N_GEO + 13]
+
+                def lattice_grad(li, lj, lk):
+                    hx = li.astype(jnp.uint32) * _M + _A
+                    hy = lj.astype(jnp.uint32) * _M + _A
+                    hz = lk.astype(jnp.uint32) * _M + _A
+                    hx = hx + hy * hz
+                    hy = hy + hz * hx
+                    hz = hz + hx * hy
+                    hx = hx ^ (hx >> np.uint32(16))
+                    hy = hy ^ (hy >> np.uint32(16))
+                    hz = hz ^ (hz >> np.uint32(16))
+                    hx = hx + hy * hz
+                    hy = hy + hz * hx
+                    hz = hz + hx * hy
+
+                    def cube(vv):
+                        return 2.0 * ((vv >> np.uint32(8)).astype(
+                            jnp.int32).astype(jnp.float32) * f24) - 1.0
+
+                    gx, gy, gz = cube(hx), cube(hy), cube(hz)
+                    ginv = 1.0 / jnp.sqrt(
+                        jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-12))
+                    return gx * ginv, gy * ginv, gz * ginv
+
+                def noise1(px, py, pz):
+                    fxx = jnp.floor(px)
+                    fyy = jnp.floor(py)
+                    fzz = jnp.floor(pz)
+                    uu2 = px - fxx
+                    vv2 = py - fyy
+                    ww2 = pz - fzz
+                    i0 = fxx.astype(jnp.int32)
+                    j0 = fyy.astype(jnp.int32)
+                    k0 = fzz.astype(jnp.int32)
+                    acc = zero * 1.0
+                    for di in range(2):
+                        for dj in range(2):
+                            for dk in range(2):
+                                gx, gy, gz = lattice_grad(
+                                    i0 + di, j0 + dj, k0 + dk)
+                                dtt = (gx * (uu2 - di) + gy * (vv2 - dj)
+                                       + gz * (ww2 - dk))
+                                wu = di * uu2 + (1 - di) * (1.0 - uu2)
+                                wv = dj * vv2 + (1 - dj) * (1.0 - vv2)
+                                ww_ = dk * ww2 + (1 - dk) * (1.0 - ww2)
+                                acc = acc + wu * wv * ww_ * dtt
+                    return acc
+
+                tacc = zero * 1.0
+                twt = 1.0
+                tpx, tpy, tpz = (p[0] * nscale, p[1] * nscale,
+                                 p[2] * nscale)
+                for _oct in range(7):
+                    tacc = tacc + twt * noise1(tpx, tpy, tpz)
+                    twt *= 0.5
+                    tpx, tpy, tpz = tpx * 2.0, tpy * 2.0, tpz * 2.0
+                marble = 0.5 * (1.0 + jnp.sin(
+                    nscale * p[2] + 10.0 * jnp.abs(tacc)))
+                albedo = [
+                    jnp.where(texkind == 2.0, marble, albedo[c])
+                    for c in range(3)
+                ]
 
             su1, su2, _ = uniform3(bounce_u, rngmod.SCATTER_U)
             zr = 1.0 - 2.0 * su1
@@ -1017,11 +1088,12 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
     jax.jit,
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
                      "n_lights", "has_checker", "max_depth", "rec_dec",
-                     "block_rows"),
+                     "block_rows", "sph_seg", "has_noise"),
 )
 def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
           n_sph_seg, n_vol, n_lights, has_checker, max_depth, hdri_rows=None,
-          rec_dec=False, block_rows=BLOCK_ROWS):
+          rec_dec=False, block_rows=BLOCK_ROWS, sph_seg=None,
+          has_noise=False):
     from ..core.vec3 import V3
 
     oc = [o.x, o.y, o.z]
@@ -1066,7 +1138,8 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
                     has_checker, max_depth, use_hdri=use_hdri,
-                    rec_dec=rec_dec),
+                    rec_dec=rec_dec, sph_seg=sph_seg,
+                    has_noise=has_noise),
         grid=grid,
         in_specs=[smem] * 7 + hdri_spec + [ray_spec] * 8,
         out_specs=[out_spec] * 10 + dec_spec,
@@ -1107,6 +1180,8 @@ def grad_applicable(scene, max_depth: int) -> bool:
         return False
     if scene.env is not None:
         return False
+    if scene.has_noise:
+        return False  # marble-modulated albedo adjoint not in the kernel
     if max_depth > 12:
         return False
     kinds = np.asarray(scene.materials.kind)
@@ -1120,11 +1195,11 @@ def grad_applicable(scene, max_depth: int) -> bool:
     jax.jit,
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
                      "n_lights", "has_checker", "max_depth", "n_tex",
-                     "miss_cfg", "block_rows"),
+                     "miss_cfg", "block_rows", "sph_seg"),
 )
 def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, g, *, n_planar,
                n_sphere, n_sph_seg, n_vol, n_lights, has_checker, max_depth,
-               n_tex, miss_cfg, block_rows=BLOCK_ROWS):
+               n_tex, miss_cfg, block_rows=BLOCK_ROWS, sph_seg=None):
     """Gradient megakernel launch.  g: [R, 3] loss cotangent per ray
     (dL/d(radiance); zero for padding/invalid lanes).  Returns
     (rad V3 [R], grads [n_tex, 3, 3]) where grads[t, v, c] is
@@ -1159,7 +1234,7 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, g, *, n_planar,
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
                     has_checker, max_depth, grad_mode=True, n_tex=n_tex,
-                    miss_cfg=miss_cfg),
+                    miss_cfg=miss_cfg, sph_seg=sph_seg),
         grid=grid,
         in_specs=[smem] * 7 + [ray_spec] * 11,
         out_specs=[out_spec] * 3 + [gout_spec],
@@ -1189,7 +1264,7 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g):
     for the gate).  Returns (rad V3, dict of texture-table grads:
     color / even_color / odd_color, each [n_tex, 3])."""
     pt, st, sb, vt, lt, n_planar, n_sphere, n_sph_seg, n_vol, n_lights = (
-        build_tables(scene)
+        build_tables(scene, sph_seg=SPH_SEG)
     )
     sg = jax.lax.stop_gradient
     if scene.env is not None:
@@ -1206,6 +1281,8 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g):
         n_vol=n_vol, n_lights=n_lights,
         has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),
         n_tex=n_tex, miss_cfg=miss_cfg,
+        block_rows=SPH_BLOCK_ROWS if n_sph_seg else BLOCK_ROWS,
+        sph_seg=SPH_SEG,
     )
     return rad, dict(color=grads[:, 0], even_color=grads[:, 1],
                      odd_color=grads[:, 2])
@@ -1215,11 +1292,12 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g):
     jax.jit,
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
                      "n_lights", "has_checker", "max_depth", "b_start",
-                     "b_end", "block_rows"),
+                     "b_end", "block_rows", "sph_seg", "has_noise"),
 )
 def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
                  n_sph_seg, n_vol, n_lights, has_checker, max_depth,
-                 b_start, b_end, hdri_rows=None, block_rows=BLOCK_ROWS):
+                 b_start, b_end, hdri_rows=None, block_rows=BLOCK_ROWS,
+                 sph_seg=None, has_noise=False):
     """Resumable phase: `flat` is the 21-tuple of [R] state arrays
     (o3, d3, tm, stream, tp3, rad3, flags, mdir3, mtp3); returns the
     19-tuple (rad3, mdir3, mtp3, flags, o3, d3, tp3) of [R] arrays."""
@@ -1257,7 +1335,8 @@ def _call_resume(pt, st, sb, vt, lt, seed, flat, *, n_planar, n_sphere,
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
                     has_checker, max_depth, resume=True,
-                    use_hdri=use_hdri),
+                    use_hdri=use_hdri, sph_seg=sph_seg,
+                    has_noise=has_noise),
         grid=grid,
         in_specs=[smem] * 8 + hdri_spec + [ray_spec] * 21,
         out_specs=[out_spec] * 19,
@@ -1335,13 +1414,17 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
 
     sg = jax.lax.stop_gradient
     (pt, st, sb, vt, lt, n_planar, n_sphere, n_sph_seg, n_vol,
-     n_lights) = build_tables(sg(scene))
+     n_lights) = build_tables(sg(scene), sph_seg=SPH_SEG)
     seed_u = jnp.uint32(seed) if not hasattr(seed, "dtype") else seed
     statics = dict(
         n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
         n_vol=n_vol, n_lights=n_lights,
         has_checker=scene.has_checker, max_depth=cam.max_depth,
         block_rows=SPH_BLOCK_ROWS if n_sph_seg else BLOCK_ROWS,
+        # explicit cache keys: flipping the env knobs in-process now
+        # RETRACES instead of silently reusing a stale kernel
+        sph_seg=SPH_SEG,
+        has_noise=bool(scene.has_noise),
     )
     r = o.x.shape[0]
 

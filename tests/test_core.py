@@ -96,12 +96,15 @@ def test_perlin_soa_matches_rows():
     from go_raytracing_tpu.materials import textures as tex
     from go_raytracing_tpu.core.vec3 import V3
 
-    tables = tex.make_perlin_tables(3)
     r = np.random.default_rng(0)
     p = jnp.asarray(r.uniform(-8, 8, size=(512, 3)), jnp.float32)
-    rows = np.asarray(tex.perlin_turb(tables, p, 7))
-    soa = np.asarray(tex.perlin_turb_soa(tables, V3.from_rows(p), 7))
+    rows = np.asarray(tex.perlin_turb(p, 7))
+    soa = np.asarray(tex.perlin_turb_soa(V3.from_rows(p), 7))
     np.testing.assert_allclose(soa, rows, rtol=1e-4, atol=1e-5)
-    rows_n = np.asarray(tex.perlin_noise(tables, p))
-    soa_n = np.asarray(tex.perlin_noise_soa(tables, V3.from_rows(p)))
+    rows_n = np.asarray(tex.perlin_noise(p))
+    soa_n = np.asarray(tex.perlin_noise_soa(V3.from_rows(p)))
     np.testing.assert_allclose(soa_n, rows_n, rtol=1e-4, atol=1e-5)
+    # structural sanity: zero-mean-ish gradient noise, turbulence >= 0
+    assert abs(rows_n.mean()) < 0.05
+    assert rows_n.std() > 0.05
+    assert (soa >= 0).all() and soa.std() > 0.05

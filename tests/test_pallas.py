@@ -576,3 +576,35 @@ def test_megakernel_hdri_nee_matches_standard_path():
         mega.INTERPRET = False
     img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
     np.testing.assert_allclose(img_mega, img_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_megakernel_noise_texture_matches():
+    """Perlin-marble scenes now run IN the megakernel (round 3: hashed
+    lattice gradients are pure VPU math, no tables).  Image must match
+    the standard integrator's gather-path noise evaluation."""
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    b = grt.SceneBuilder()
+    noise = b.lambertian(b.noise(2.5))
+    b.plane((0, 0, 0), (0, 1, 0), noise)
+    b.sphere((0, 1.2, 0), 1.2, b.lambertian(b.noise(0.9)))
+    b.sphere((-2.2, 0.6, 1.0), 0.6, b.lambertian((0.8, 0.3, 0.2)))
+    scene = b.build()
+    assert scene.has_noise
+
+    from go_raytracing_tpu.camera import Camera
+
+    cam = Camera(
+        image_width=20, aspect_ratio=1.0, samples_per_pixel=4, max_depth=4,
+        look_from=(0, 2.2, 6), look_at=(0, 1.0, 0), vfov=40.0,
+        use_sky_gradient=True,
+    )
+    mega.INTERPRET = True
+    try:
+        assert mega.applicable(scene)
+        img_mega = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    finally:
+        mega.INTERPRET = False
+    img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
+    assert img_mega.std() > 0.02  # marble actually varies
+    np.testing.assert_allclose(img_mega, img_ref, rtol=1e-3, atol=2e-3)
