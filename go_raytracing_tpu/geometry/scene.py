@@ -155,7 +155,7 @@ jax.tree_util.register_dataclass(
 class SceneBuilder:
     """Accumulates a scene host-side; ``build()`` freezes device arrays."""
 
-    def __init__(self, perlin_seed: int = 0):
+    def __init__(self):
         self._sph: list = []       # (center, velocity, radius, mat)
         self._pla: list = []       # (q, u, v, normal, w, d, radius, kind, mat)
         self._vol: list = []       # (world_to_local 3x4, bmin, bmax, nid, mat)
@@ -167,7 +167,6 @@ class SceneBuilder:
         self._instances: list = []  # (proto_id, l2w 4x4, mat)
         self._env: Optional[tuple] = None   # (np data, rotation_deg)
         self._env_importance = True
-        self._perlin_seed = perlin_seed
 
     # --- textures ---------------------------------------------------------
     def solid(self, color) -> int:

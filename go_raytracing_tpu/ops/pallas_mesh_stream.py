@@ -25,8 +25,8 @@ Design history (all numbers measured on v5e, scripts/probe_lucy.py):
       dynamic pltpu.rolls per sweep (~55% of sweep cost,
       scripts/stream_micro.py) with an incremental static roll carried
       through the group loop.
-  v6  (this file) culling is EXACT per ray, and the cull-slot bitmask
-      covers the whole mesh at any size:
+  v6  culling is EXACT per ray, and the cull-slot bitmask covers the
+      whole mesh at any size:
 
         XLA     per-block per-instance root-box cull (only to bound the
                 in-kernel candidate scan); rays are pre-sorted by
@@ -55,8 +55,17 @@ Design history (all numbers measured on v5e, scripts/probe_lucy.py):
   ever dropped (the host-side overflow count remains wired and must
   read 0).
 
-Like every hot kernel here: no per-ray gathers, no [R,3] arrays, no
-vector-reduce conds (scalar bit tests only).
+  v7  (this file) interleaves phases A+B per instance, clipping later
+      instances' slab exits by the running per-member best t (exact,
+      vector-only cross-instance termination); adds the hierarchical
+      per-ray SEGMENT gate before slot tests; Baldwin-Weber rows; and
+      paired two-slot loop iterations with independent accumulator
+      chains (the sweeps are VPU-latency-bound, not issue-bound).
+
+Like every hot kernel here: no per-ray gathers and no [R,3] arrays.
+Vector-reduce conditions appear ONLY at coarse granularity (one
+jnp.any per (segment, instance) gate — ~55/instance/block); a per-tile
+reduce in the sweep loop conditions measured 22% slower end-to-end.
 """
 
 from __future__ import annotations

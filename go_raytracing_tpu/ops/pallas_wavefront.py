@@ -1197,11 +1197,12 @@ def grad_applicable(scene, max_depth: int) -> bool:
                      "n_lights", "has_checker", "max_depth", "n_tex",
                      "miss_cfg", "block_rows", "sph_seg"),
 )
-def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, g, *, n_planar,
+def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
+               n_planar,
                n_sphere, n_sph_seg, n_vol, n_lights, has_checker, max_depth,
                n_tex, miss_cfg, block_rows=BLOCK_ROWS, sph_seg=None):
-    """Gradient megakernel launch.  g: [R, 3] loss cotangent per ray
-    (dL/d(radiance); zero for padding/invalid lanes).  Returns
+    """Gradient megakernel launch.  gx/gy/gz: [R] per-channel loss
+    cotangent rows (dL/d(radiance); zero for padding lanes).  Returns
     (rad V3 [R], grads [n_tex, 3, 3]) where grads[t, v, c] is
     d L / d theta[t, v, c] with v in (color, even_color, odd_color)."""
     from ..core.vec3 import V3
@@ -1219,7 +1220,7 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, g, *, n_planar,
         return a.reshape(rows, LANES).astype(dtype)
 
     rays = [prep(a) for a in oc + dc + [tm]] + [prep(stream, jnp.uint32)]
-    grows = [prep(g[:, c]) for c in range(3)]
+    grows = [prep(a) for a in (gx, gy, gz)]
 
     grid = (rows // block_rows,)
     n_blocks = rows // block_rows
@@ -1259,7 +1260,7 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, g, *, n_planar,
     return rad, grads
 
 
-def grad_megakernel(scene, cam, o, d, tm, stream, seed, g):
+def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3):
     """Run the gradient megakernel for one ray chunk (see grad_applicable
     for the gate).  Returns (rad V3, dict of texture-table grads:
     color / even_color / odd_color, each [n_tex, 3])."""
@@ -1276,7 +1277,8 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g):
         miss_cfg = ("flat",) + bg
     n_tex = int(scene.textures.color.shape[0])
     rad, grads = _call_grad(
-        pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream, g,
+        pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream,
+        g3[0], g3[1], g3[2],
         n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
         n_vol=n_vol, n_lights=n_lights,
         has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),

@@ -110,10 +110,14 @@ def _grad_kernel_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
         max_depth=max_depth)
     n_virt = g_virt.shape[0]
     assert chunk % n_virt == 0
-    g = jnp.broadcast_to(g_virt[None], (chunk // n_virt, n_virt, 3)
-                         ).reshape(chunk, 3)
-    g = jnp.where(valid[:, None], g, 0.0)
-    _, grads = mega.grad_megakernel(scene, cam2, o, d, tm, stream, seed, g)
+    reps = chunk // n_virt
+    # per-CHANNEL [chunk] rows (CLAUDE.md rule 1: no [R,3] hot-path arrays)
+    g3 = tuple(
+        jnp.where(valid, jnp.broadcast_to(g_virt[None, :, c],
+                                          (reps, n_virt)).reshape(chunk), 0.0)
+        for c in range(3)
+    )
+    _, grads = mega.grad_megakernel(scene, cam2, o, d, tm, stream, seed, g3)
     return grads
 
 

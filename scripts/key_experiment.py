@@ -155,9 +155,7 @@ def main():
         dd = (dq[:, 0] * 8 + dq[:, 1]) * 8 + dq[:, 2]
         tq = np.clip((best_t / np.linalg.norm(ext) * 64).astype(np.int64),
                      0, 63)
-        c = cellq(4)
-        cell = (c[:, 0] * 4 + c[:, 1]) * 4 + c[:, 2]
-        return ((best_i.astype(np.int64) * 512 + dd) * 64 + cell * 0 + tq)
+        return (best_i.astype(np.int64) * 512 + dd) * 64 + tq
 
     keys = {
         "current (i,d8,c8)": key_current(),

@@ -60,7 +60,8 @@ def test_grad_kernel_matches_autodiff():
             np.random.default_rng(0).uniform(size=(r, 3)) * 1e-3,
             jnp.float32)
 
-        rad_k, gk = mega.grad_megakernel(scene, cam, o, d, tm, ids, 0, g)
+        rad_k, gk = mega.grad_megakernel(
+            scene, cam, o, d, tm, ids, 0, (g[:, 0], g[:, 1], g[:, 2]))
 
         # radiance: matches the standard integrator's full radiance
         rad_ref = wavefront.trace(scene, cam, o, d, tm, ids, 0,
