@@ -31,6 +31,7 @@ CASES = [
     ("cornell-smoke", 24, 4, 5),
     ("glossy-metal", 24, 4, 5),
     ("perlin", 24, 2, 4),
+    ("cornell-lucy", 24, 2, 4),  # mesh kernel path on the real chip
 ]
 
 

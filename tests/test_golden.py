@@ -27,6 +27,7 @@ CASES = [
     ("cornell-smoke", 24, 4, 5),
     ("glossy-metal", 24, 4, 5),
     ("perlin", 24, 2, 4),
+    ("cornell-lucy", 24, 2, 4),
 ]
 
 
