@@ -1025,7 +1025,13 @@ def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:
 
     if differentiable or not mega.applicable(scene):
         return "off"
-    if cam.max_depth >= mega.SPLIT_DEPTH_MIN and r >= mega.SPLIT_R_MIN:
+    use_hdri = scene.env is not None and scene.env_importance
+    # Split mode re-streams the precomputed HDRI-NEE rows per phase
+    # (7 rows x bounces x rays of HBM traffic) — measured 5.8x SLOWER
+    # than single on hdri-test at depth 20 (69 -> 402 ms per 4M chunk);
+    # deep HDRI configs stay single-phase.
+    if (cam.max_depth >= mega.SPLIT_DEPTH_MIN and r >= mega.SPLIT_R_MIN
+            and not use_hdri):
         return "split"
     return "single"
 

@@ -1451,7 +1451,8 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
         return rows
 
     if split is None:
-        split = cam.max_depth >= SPLIT_DEPTH_MIN and r >= SPLIT_R_MIN
+        split = (cam.max_depth >= SPLIT_DEPTH_MIN and r >= SPLIT_R_MIN
+                 and not use_hdri)  # see choose_mega_mode: 5.8x slower
     if record:
         assert not split, "record mode is single-phase only"
         return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
