@@ -11,17 +11,20 @@ import os as _os
 # Persistent XLA compilation cache: compiles in this environment go through
 # a slow remote helper (~minutes for the bounce loop), so caching across
 # processes is a large win for tests, benches and repeated renders.
+# An explicitly EMPTY env value opts out (tests/conftest.py: cache
+# get/put of the 8-device train_step executable wedges under pytest).
 _cache_dir = _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
 )
-try:  # pragma: no cover
-    import jax as _jax
+if _cache_dir:
+    try:  # pragma: no cover
+        import jax as _jax
 
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from .camera import Camera, quick_preview, standard_quality, high_quality
 from .geometry.scene import Affine, Scene, SceneBuilder

@@ -9,6 +9,8 @@ hardware (SURVEY.md §4 / build-plan §8) and compiles stay local and fast.
 
 import os
 
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""  # see note below
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +21,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# NO persistent compilation cache under pytest: serializing the 8-device
+# train_step executable (test_dryrun_multichip_entrypoint) wedges inside
+# jax's cache put/get when the whole suite has run first — three suite
+# runs hung >20 min at that exact test (faulthandler stacks in
+# compilation_cache.get/put_executable_and_time), while the same test
+# alone passes in seconds.  CPU compiles are fast; tests don't need the
+# disk cache (the package enables it for CLI/bench TPU runs, where the
+# remote-helper compiles it amortizes are minutes each).
+# (the empty JAX_COMPILATION_CACHE_DIR env above makes the package skip
+# re-enabling it on import)
+jax.config.update("jax_compilation_cache_dir", None)
 assert jax.default_backend() == "cpu"

@@ -64,22 +64,41 @@ def test_sharded_train_step_reduces_loss():
     assert float(loss2) < float(loss1)
 
 
-def test_dryrun_multichip_entrypoint():
+def _entry_subprocess(code: str):
+    """Run driver-entrypoint checks in a FRESH process, exactly as the
+    driver invokes them.  In-process, the 8-device train_step compile
+    wedges (>20 min) after the full suite has run — XLA's in-process
+    compile state degrades across ~110 prior test compilations (observed
+    hung in backend_compile_and_load / cache get/put with three suite
+    runs; every file-level subset passes).  A clean process compiles it
+    in ~20 s."""
+    import os
+    import subprocess
     import sys
 
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as ge
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8"
+                        ).strip()
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
 
-    n = min(len(jax.devices()), 8)
-    ge.dryrun_multichip(n)
+
+def test_dryrun_multichip_entrypoint():
+    _entry_subprocess(
+        "import __graft_entry__ as ge; ge.dryrun_multichip(8)"
+    )
 
 
 def test_entry_compiles():
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as ge
-
-    fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    assert np.isfinite(np.asarray(out)).all()
+    _entry_subprocess(
+        "import __graft_entry__ as ge\n"
+        "import jax, numpy as np\n"
+        "fn, args = ge.entry()\n"
+        "out = jax.jit(fn)(*args)\n"
+        "assert np.isfinite(np.asarray(out)).all()\n"
+    )
