@@ -1033,6 +1033,11 @@ def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:
     if (cam.max_depth >= mega.SPLIT_DEPTH_MIN and r >= mega.SPLIT_R_MIN
             and not use_hdri):
         return "split"
+    # NOT auto-selected: mid-loop live-ray COMPACTION ('compact', the
+    # round-3 roadmap's "compaction cheaper than split mode") measured
+    # 0.74x single on random depth 10 (scripts/compact_probe.py) — the
+    # state move itself is the floor, not the sort (DESIGN.md 5d).  The
+    # mode stays available for explicit mega_mode='compact' experiments.
     return "single"
 
 
@@ -1088,10 +1093,13 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         mega_mode = choose_mega_mode(scene, cam, r, differentiable)
     if record and mega_mode == "split":
         mega_mode = "off"  # decision recording is single-phase only
+    elif record and mega_mode == "compact":
+        mega_mode = "single"  # recording stays at kernel speed
     if mega_mode != "off":
         res = mega.trace_megakernel(
             scene, cam, o, d, tm, stream, seed,
             split=(mega_mode == "split"), record=record,
+            compact=(mega_mode == "compact"),
         )
         if record:
             radiance, miss_dir, miss_tp, missed, miss_primary, dk = res

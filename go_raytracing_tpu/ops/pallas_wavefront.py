@@ -1363,6 +1363,21 @@ SPLIT_DEPTH_MIN = 16
 SPLIT_R_MIN = 1 << 18
 SPLIT_AT = 4
 
+# Compact mode (mega_mode='compact', NOT auto-selected): mid-loop
+# live-ray COMPACTION via a sort-free stable partition — the round-3
+# roadmap's "compaction cheaper than split mode" candidate.  MEASURED
+# LOSS on its target (random depth 10, 4.2M rays, compact_probe.py):
+# 606 ms vs single's 451 (0.74x), compact@5 584.  The partition pieces
+# (part_micro): cumsum pos 29 ms, +scatter order 77, argsort(bool)
+# order 32, the [R,12] row move 165 (~3.3 ns/element) — i.e. the MOVE
+# is the floor, not the sort, and it alone exceeds the whole straggler
+# residual, because dead-lane t_cap=0 already keeps mostly-dead blocks
+# cheap (their live rays' segments only).  Kept for explicit
+# experiments at depth 16+ (vs split) and as the measured record.
+COMPACT_DEPTH_MIN = 8
+COMPACT_R_MIN = 1 << 18
+COMPACT_AT = 3
+
 
 def _phase_state_sort(flat, alive):
     """Sort the 21-array state so live rays pack into dense (4096-ray)
@@ -1400,8 +1415,64 @@ def _phase_state_sort(flat, alive):
     return tuple(out), inv
 
 
+def _compact_partition(rows12, alive):
+    """Stable live-ray partition — the 'compaction cheaper than split
+    mode' item from the round-3 roadmap.  Versus _phase_state_sort it
+
+      - computes the permutation with two cumsums instead of an argsort
+        (the 13-bit-key sort was the dominant fixed cost),
+      - moves only the 12 rows a live ray actually needs (o, d, tm,
+        stream, tp, flags); radiance/miss rows restart at zero in phase
+        2 and the caller merges them back with one inverse row gather,
+      - keeps survivors in their ORIGINAL relative order, so the pixel-
+        tile coherence of the renderer's layout survives compaction
+        (the cell re-sort destroyed it for sparse survivors).
+
+    ``rows12`` = (ox, oy, oz, dx, dy, dz, tm, stream, tpx, tpy, tpz,
+    flags).  Returns (flat2 21-tuple for _call_resume, pos [R] i32 —
+    ray i's slot in the compacted layout, i.e. the inverse permutation).
+    Tail (dead) slots hold zeros: flags 0 reads as dead, so phase 2
+    early-exits whole tail blocks."""
+    r = rows12[0].shape[0]
+    i32 = jnp.int32
+    al = alive.astype(i32)
+    cl = jnp.cumsum(al)
+    n_live = cl[-1]
+    cd = jnp.cumsum(1 - al)
+    pos = jnp.where(alive, cl - 1, n_live + cd - 1)
+    iota = jnp.arange(r, dtype=i32)
+    order = jnp.zeros((r,), i32).at[pos].set(iota, unique_indices=True)
+
+    bc = jax.lax.bitcast_convert_type
+    # Strip the missed/primary bits before the move: a LIVE ray never
+    # has them set (missing kills the lane), and a dead tail ray must
+    # not re-report its phase-1 miss from a slot whose miss-dir rows
+    # were zeroed — the caller takes miss data from phase 1 for lanes
+    # phase 2 did not mark.
+    rows12 = tuple(rows12[:11]) + (rows12[11] & (4 | 8),)
+    cols = [a if a.dtype == jnp.float32 else bc(a, jnp.float32)
+            for a in rows12]
+    # one packed [R, 12] row gather (separate [R] gathers are
+    # latency-bound at ~12 ns/element; see _phase_state_sort); the dead
+    # tail's stale ray state is inert (alive bit 0 -> the kernel never
+    # touches it, and with missed stripped it can't contribute outputs)
+    packed = jnp.stack(cols, axis=1)[order]
+    m = [packed[:, j] for j in range(12)]
+    zero = jnp.zeros((r,), jnp.float32)
+    flat2 = (
+        m[0], m[1], m[2], m[3], m[4], m[5], m[6],
+        bc(m[7], rows12[7].dtype),              # stream (uint32)
+        m[8], m[9], m[10],                      # throughput
+        zero, zero * 1.0, zero * 1.0,           # radiance restarts at 0
+        bc(m[11], jnp.int32),                   # flags
+        zero * 1.0, zero * 1.0, zero * 1.0,     # miss dir
+        zero * 1.0, zero * 1.0, zero * 1.0,     # miss throughput
+    )
+    return flat2, pos
+
+
 def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
-                     record=False):
+                     record=False, compact=False):
     """Full bounce loop via the megakernel.  Returns (radiance V3,
     miss_dir V3, miss_tp V3, missed, miss_primary) — the caller applies
     the deferred miss shader.  ``split=None`` decides the phase split
@@ -1454,7 +1525,67 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
         split = (cam.max_depth >= SPLIT_DEPTH_MIN and r >= SPLIT_R_MIN
                  and not use_hdri)  # see choose_mega_mode: 5.8x slower
     if record:
-        assert not split, "record mode is single-phase only"
+        assert not (split or compact), "record mode is single-phase only"
+    assert not (split and compact)
+
+    if compact:
+        # Phase 1: bounces [0, COMPACT_AT) in pixel order.
+        o, d, tm = sg(o), sg(d), sg(tm)
+        zero = jnp.zeros_like(o.x)
+        one = jnp.ones_like(o.x)
+        flags0 = jnp.full(o.x.shape, 4 + 8, jnp.int32)  # alive | allow
+        flat = (o.x, o.y, o.z, d.x, d.y, d.z, tm, stream,
+                one, one * 1.0, one * 1.0,
+                zero, zero * 1.0, zero * 1.0,
+                flags0,
+                zero * 1.0, zero * 1.0, zero * 1.0,
+                zero * 1.0, zero * 1.0, zero * 1.0)
+        k = min(COMPACT_AT, cam.max_depth - 1)
+        out1 = _call_resume(pt, st, sb, vt, lt, seed_u, flat,
+                            b_start=0, b_end=k,
+                            hdri_rows=(hdri_rows_for(stream, 0, k)
+                                       if use_hdri else None),
+                            **statics)
+        rad1 = out1[0:3]
+        mdir1, mtp1 = out1[3:6], out1[6:9]
+        flg1 = out1[9]
+        o3, d3, tp3 = out1[10:13], out1[13:16], out1[16:19]
+
+        # Stable partition of the survivors, then finish the loop on the
+        # compacted layout (dead tail blocks early-exit instantly).
+        alive1 = (flg1 & 4) > 0
+        flat2, pos = _compact_partition(
+            (o3[0], o3[1], o3[2], d3[0], d3[1], d3[2], tm, stream,
+             tp3[0], tp3[1], tp3[2], flg1), alive1)
+        out2 = _call_resume(pt, st, sb, vt, lt, seed_u, flat2,
+                            b_start=k, b_end=cam.max_depth,
+                            hdri_rows=(
+                                hdri_rows_for(flat2[7], k, cam.max_depth)
+                                if use_hdri else None),
+                            **statics)
+
+        # Ray i's phase-2 results live at slot pos[i]: one packed
+        # inverse row gather, then merge with the in-place phase-1 rows.
+        bc = jax.lax.bitcast_convert_type
+        res = list(out2[0:9]) + [out2[9]]
+        cols = [a if a.dtype == jnp.float32 else bc(a, jnp.float32)
+                for a in res]
+        cols += [jnp.zeros_like(cols[0])] * (12 - len(cols))
+        packed = jnp.stack(cols, axis=1)[pos]
+        rad = V3(rad1[0] + packed[:, 0], rad1[1] + packed[:, 1],
+                 rad1[2] + packed[:, 2])
+        flg2 = bc(packed[:, 9], jnp.int32)
+        missed2 = (flg2 & 1) == 1
+        # a lane misses at most once, and phase-1 misses kill the lane
+        # before the partition: the two miss sets are disjoint
+        m_dir = V3(*[jnp.where(missed2, packed[:, 3 + c], mdir1[c])
+                     for c in range(3)])
+        m_tp = V3(*[jnp.where(missed2, packed[:, 6 + c], mtp1[c])
+                    for c in range(3)])
+        missed = ((flg1 & 1) == 1) | missed2
+        m_primary = (((flg1 | flg2) & 2) == 2)
+        return rad, m_dir, m_tp, missed, m_primary
+
         return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
                      stream,
                      hdri_rows=(hdri_rows_for(stream, 0, cam.max_depth)

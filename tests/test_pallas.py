@@ -388,6 +388,62 @@ def test_megakernel_phase_split_matches():
     np.testing.assert_allclose(img_split, img_ref, rtol=1e-3, atol=2e-3)
 
 
+def test_megakernel_compact_matches():
+    """The mid-loop live-ray COMPACTION (stable partition, no sort) must
+    be image-identical to the single-shot megakernel / standard path —
+    including deferred miss data for rays that escape in either phase
+    and radiance accumulated across the phase boundary."""
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    b = grt.SceneBuilder()
+    b.plane((0, 0, 0), (0, 1, 0), b.lambertian((0.5, 0.5, 0.5)))
+    k = 0
+    for i in range(9):
+        for j in range(9):
+            x, z = i - 4.0, j - 4.0
+            mat = [
+                b.lambertian((0.2 + 0.08 * (k % 9), 0.4, 0.6)),
+                b.metal((0.8, 0.7, 0.6), 0.05 * (k % 5)),
+                b.dielectric(1.5),
+            ][k % 3]
+            b.sphere((x, 0.2, z), 0.2, mat)
+            k += 1
+    light = b.diffuse_light((5, 5, 5))
+    q = b.quad((-1, 5, -1), (2, 0, 0), (0, 0, 2), light)
+    b.add_light(q)
+    scene = b.build()
+    assert scene.spheres.radius.shape[0] >= mega.SPH_CULL_MIN
+
+    from go_raytracing_tpu.camera import Camera
+
+    cam = Camera(
+        image_width=16, aspect_ratio=1.0, samples_per_pixel=2, max_depth=9,
+        look_from=(6, 3, 6), look_at=(0, 0, 0), background=(0.6, 0.7, 0.9),
+        vfov=40.0, use_sky_gradient=True,
+    )
+    from go_raytracing_tpu.camera import generate_rays
+    from go_raytracing_tpu.integrator import wavefront as wf
+    from go_raytracing_tpu.render.renderer import _id_to_pixel
+
+    r = 16 * 16 * 4
+    ids = jnp.arange(r, dtype=jnp.uint32)
+    px, py, _ = _id_to_pixel(ids % (16 * 16), 16, 16, False)
+    o, d, tm = generate_rays(cam, px, py, ids, 7)
+
+    mega.INTERPRET = True
+    try:
+        assert mega.applicable(scene)
+        rad_c = wf.trace(scene, cam, o, d, tm, ids, jnp.uint32(7),
+                         differentiable=False, mega_mode="compact")
+        rad_s = wf.trace(scene, cam, o, d, tm, ids, jnp.uint32(7),
+                         differentiable=False, mega_mode="single")
+    finally:
+        mega.INTERPRET = False
+    np.testing.assert_allclose(
+        np.asarray(rad_c.rows()), np.asarray(rad_s.rows()),
+        rtol=1e-4, atol=1e-5)
+
+
 def test_mesh_stream_kernel_matches_frontier():
     """Leaf-stream (tilemask) mesh kernel vs the XLA frontier traversal.
 
