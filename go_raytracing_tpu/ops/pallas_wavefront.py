@@ -1526,6 +1526,11 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
                  and not use_hdri)  # see choose_mega_mode: 5.8x slower
     if record:
         assert not (split or compact), "record mode is single-phase only"
+        return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
+                     stream,
+                     hdri_rows=(hdri_rows_for(stream, 0, cam.max_depth)
+                                if use_hdri else None),
+                     rec_dec=True, **statics)
     assert not (split and compact)
 
     if compact:
@@ -1586,11 +1591,6 @@ def trace_megakernel(scene, cam, o, d, tm, stream, seed, split=None,
         m_primary = (((flg1 | flg2) & 2) == 2)
         return rad, m_dir, m_tp, missed, m_primary
 
-        return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
-                     stream,
-                     hdri_rows=(hdri_rows_for(stream, 0, cam.max_depth)
-                                if use_hdri else None),
-                     rec_dec=True, **statics)
     if not split:
         return _call(pt, st, sb, vt, lt, seed_u, sg(o), sg(d), sg(tm),
                      stream,
