@@ -96,12 +96,15 @@ def bench_scene(name, cfg):
     return accum, n_rays / wall / 1e6, wall, cam
 
 
-def bench_grad():
+def bench_grad(scene_name="cornell", cfg=None):
     """BASELINE's literal headline: Mrays/s/chip **fwd+bwd** on Cornell.
 
     Times one full inverse-rendering gradient (render/grad.py): forward
     framebuffer + parameter VJPs for every (pixel, sample) chunk — i.e.
-    every camera ray is traced forward AND backward once."""
+    every camera ray is traced forward AND backward once.
+
+    ``scene_name``/``cfg`` select other gradient configs (e.g. the
+    cornell-glossy metal/dielectric scene on the PATHWISE kernel)."""
     import dataclasses
     import time
 
@@ -109,8 +112,8 @@ def bench_grad():
     import go_raytracing_tpu as grt
     from go_raytracing_tpu.render.grad import render_grad
 
-    cfg = ALL_CONFIGS["cornell"]
-    scene, cam = grt.load_scene("cornell")
+    cfg = cfg or ALL_CONFIGS["cornell"]
+    scene, cam = grt.load_scene(scene_name)
     cam = dataclasses.replace(
         cam, image_width=cfg["width"], aspect_ratio=cfg["aspect"],
         samples_per_pixel=cfg["spp"], max_depth=cfg["depth"],
@@ -133,9 +136,22 @@ def bench_grad():
         return loss, s
 
     run()  # compile + warm
-    t0 = time.perf_counter()
-    loss, _ = run()
-    wall = time.perf_counter() - t0
+
+    def timed():
+        t0 = time.perf_counter()
+        loss, _ = run()
+        return loss, time.perf_counter() - t0
+
+    # Same best-of-N-until-2s policy as bench_scene: the tunnel adds tens
+    # of ms of per-dispatch jitter, and a single-run sample under-reported
+    # the round-3 headline by 25% vs its own repeat runs (VERDICT r3 #2).
+    loss, wall = timed()
+    spent = wall
+    while spent < 2.0:
+        l2, w2 = timed()
+        spent += w2
+        if w2 < wall:
+            loss, wall = l2, w2
     n_rays = cam.image_width * cam.image_height * spp
     return n_rays / wall / 1e6, wall, float(loss)
 
@@ -167,15 +183,26 @@ def main_all():
         except Exception as e:  # keep going; report the failure
             results[name] = dict(error=str(e)[:200])
             print(f"{name:15s}: FAILED {e}")
-    try:
-        mrays, wall, loss = bench_grad()
-        results["cornell-fwd-bwd"] = dict(
-            mrays_per_s=round(mrays, 3), wall_s=round(wall, 3),
-            loss=loss, note="full gradient (render/grad.py replay path)",
-        )
-        print(f"{'cornell-fwd-bwd':15s}: {mrays:8.2f} Mrays/s  ({wall:.2f}s)")
-    except Exception as e:
-        results["cornell-fwd-bwd"] = dict(error=str(e)[:200])
+    grad_cfgs = {
+        # cornell: all-diffuse -> product-chain gradient megakernel
+        "cornell-fwd-bwd": ("cornell", None,
+                            "full gradient (grad megakernel)"),
+        # cornell-glossy: metal+dielectric -> PATHWISE gradient megakernel
+        # (fuzz/IOR adjoints; VERDICT r3 #2 bar: >= 20 Mrays/s)
+        "glossy-fwd-bwd": ("cornell-glossy",
+                           dict(width=600, aspect=1.0, spp=100, depth=5),
+                           "full gradient (pathwise megakernel)"),
+    }
+    for key, (sname, gcfg, note) in grad_cfgs.items():
+        try:
+            mrays, wall, loss = bench_grad(sname, gcfg)
+            results[key] = dict(
+                mrays_per_s=round(mrays, 3), wall_s=round(wall, 3),
+                loss=loss, note=note,
+            )
+            print(f"{key:15s}: {mrays:8.2f} Mrays/s  ({wall:.2f}s)")
+        except Exception as e:
+            results[key] = dict(error=str(e)[:200])
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(results, f, indent=2)
 

@@ -132,7 +132,9 @@ def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_fl
     # sqrt's derivative is infinite at 0: masked (disc <= 0) lanes must
     # see a safe operand or the backward pass emits 0 * inf = NaN.
     sq = jnp.sqrt(jnp.where(sph_ok, disc, 1.0))
-    inv_a = 1.0 / jnp.maximum(a_q, 1e-20)
+    # Floor 1e-12: reciprocal's backward squares this, and (1e-20)^2
+    # underflows f32 to an inf partial on degenerate lanes.
+    inv_a = 1.0 / jnp.maximum(a_q, 1e-12)
     is_sph = pack.kind[None, :] == packs.VOL_SPHERE
     t0 = jnp.where(is_sph, jnp.where(sph_ok, (-hb - sq) * inv_a, BIG), t0)
     t1 = jnp.where(is_sph, jnp.where(sph_ok, (-hb + sq) * inv_a, -BIG), t1)
@@ -673,8 +675,19 @@ def _sphere_record(pack: packs.SpherePack, idx, o: V3, d: V3, tm, t):
     outward = (p - center) * (1.0 / rad)
     front = d.dot(outward) < 0.0
     normal = V3.select(front, outward, -outward)
-    theta = jnp.arccos(jnp.clip(-outward.y, -1.0, 1.0))
-    phi = jnp.arctan2(-outward.z, outward.x) + np.pi
+    # Grad-safe UV: arccos'(+-1) is Inf and arctan2 at (0,0) is 0/0 — both
+    # produce NaN in the BACKWARD for lanes whose (untaken) sphere branch
+    # saturates (0 * Inf = NaN), poisoning e.g. every fuzz gradient.  The
+    # where-guards keep the forward bit-identical while the saturated
+    # lanes differentiate a harmless constant instead.
+    xc = jnp.clip(-outward.y, -1.0, 1.0)
+    x_in = jnp.abs(xc) < 1.0
+    theta = jnp.where(x_in, jnp.arccos(jnp.where(x_in, xc, 0.0)),
+                      jnp.where(xc > 0, 0.0, np.pi))
+    az, ax = -outward.z, outward.x
+    pole = (az == 0.0) & (ax == 0.0)
+    phi = jnp.arctan2(jnp.where(pole, 0.0, az),
+                      jnp.where(pole, 1.0, ax)) + np.pi
     uu = phi / (2.0 * np.pi)
     vv = theta / np.pi
     return p, normal, front, uu, vv, mat
@@ -914,7 +927,14 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
 
     cos_light = jnp.abs(lnrm.dot(-light_dir))
     grazing = cos_light < 1e-3  # rt/camera.go:651
-    pdf_light = (dist * dist) / jnp.maximum(cos_light * larea, 1e-20)
+    # Grazing lanes are discarded below (ok &= ~grazing), but their pdf
+    # must still be FINITE-BACKWARD: a `maximum(x, 1e-20)` clamp makes the
+    # division's backward compute a/b^2 with b^2 = 1e-40, which UNDERFLOWS
+    # f32 to 0 -> inf partial -> 0*inf = NaN that poisons every summed
+    # parameter gradient routed through p (rays that hit the light quad
+    # itself sample a coplanar light point: cos_light == 0 exactly).
+    pl_denom = jnp.where(grazing, 1.0, cos_light * larea)
+    pdf_light = (dist * dist) / pl_denom
 
     wi = (-ray_d).unit()
     if mat_attrs is not None:
@@ -925,7 +945,9 @@ def sample_area_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
         pdf_brdf = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
     # Safe divisions: lanes masked below must not produce inf/NaN in the
     # primal (masked infinities poison the backward pass: 0 * inf).
-    weight = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-20)
+    # Floor 1e-15 (not 1e-20): the backward of a/b squares the clamped
+    # denominator, and (1e-20)^2 underflows f32 (see pl_denom above).
+    weight = pdf_light / jnp.maximum(pdf_light + pdf_brdf, 1e-15)
 
     scale = cos_theta / jnp.maximum(pdf_light, 1e-12) * weight * float(n_lights)
     contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
@@ -964,7 +986,8 @@ def sample_hdri_light(scene: Scene, cam, p: V3, normal: V3, ray_d: V3,
         )
     else:
         pdf_b = mats.brdf_pdf(scene.materials, mat_id, wi, light_dir, normal)
-    weight = pdf_h / jnp.maximum(pdf_h + pdf_b, 1e-20)
+    # Floor 1e-15: (1e-20)^2 underflows f32 in the division's backward.
+    weight = pdf_h / jnp.maximum(pdf_h + pdf_b, 1e-15)
     scale = cos_theta / jnp.maximum(pdf_h, 1e-12) * weight
     contrib = (emission * attenuation * scale).minimum(FIREFLY_CLAMP)
     ok = facing & ~blocked

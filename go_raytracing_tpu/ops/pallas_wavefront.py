@@ -60,8 +60,8 @@ FIREFLY = np.float32(20.0)
 INTERPRET = False
 
 # Table row indices ------------------------------------------------------
-PT_ROWS = 30  # planar: n(3) d q(3) vxw(3) wxu(3) rad2 kind [14 mat rows] + tex id (grad routing)
-ST_ROWS = 22  # sphere: c(3) vel(3) rad2 [14 mat rows] + tex id (grad routing)
+PT_ROWS = 31  # planar: n(3) d q(3) vxw(3) wxu(3) rad2 kind [14 mat rows] + tex id + mat id (grad routing)
+ST_ROWS = 23  # sphere: c(3) vel(3) rad2 [14 mat rows] + tex id + mat id (grad routing)
 VT_ROWS = 25  # volume: w2l(12) bmin(3) bmax(3) nid mat tex col(3) + tex id
 LT_ROWS = 17  # light: q(3) u(3) v(3) n(3) area em(3) + tex id
 
@@ -130,7 +130,8 @@ def _mat_rows(materials, textures, mat_ids):
         textures.even_color[:, 0][tex], textures.even_color[:, 1][tex], textures.even_color[:, 2][tex],
         textures.odd_color[:, 0][tex], textures.odd_color[:, 1][tex], textures.odd_color[:, 2][tex],
         scale,
-        tex.astype(jnp.float32),  # grad-kernel cotangent routing
+        tex.astype(jnp.float32),       # grad-kernel cotangent routing
+        mat_ids.astype(jnp.float32),   # pathwise fuzz/ior cotangent routing
     ]
 
 
@@ -264,7 +265,7 @@ def _pcg3d(x, y, z):
 def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 max_depth, resume=False, use_hdri=False, rec_dec=False,
                 grad_mode=False, n_tex=0, miss_cfg=("flat", 0.0, 0.0, 0.0),
-                sph_seg=None, has_noise=False):
+                sph_seg=None, has_noise=False, pathwise=False, n_mat=0):
     sph_seg = SPH_SEG if sph_seg is None else sph_seg
     has_extra = has_checker or has_noise  # stream even/odd/scale attrs
     use_nee = n_lights > 0
@@ -345,9 +346,11 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 
         # attribute slots (merged winner constants)
         N_GEO = 7   # pn(3) sc(3) rad2
-        N_MAT = 7 + (7 if has_extra else 0) + (1 if grad_mode else 0)
+        N_MAT = (7 + (7 if has_extra else 0) + (1 if grad_mode else 0)
+                 + (1 if pathwise else 0))
         # grad mode appends the winner's TEX ID as the last attr (routes
-        # parameter cotangents back to texture-table slots)
+        # parameter cotangents back to texture-table slots); pathwise mode
+        # additionally appends the winner's MAT ID (fuzz/ior routing)
 
         def planar_sweep(o, d, t_best, hitk, attrs, record, hidx=None):
             def body(j, carry):
@@ -391,6 +394,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                  pt[25, j], pt[26, j], pt[27, j], pt[28, j]]
                     if grad_mode:
                         vals += [pt[29, j]]
+                    if pathwise:
+                        vals += [pt[30, j]]
                     attrs = [jnp.where(upd, v + zero, a_) for v, a_ in zip(vals, attrs)]
                 if hidx is None:
                     return t_best, hitk, attrs
@@ -445,6 +450,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                  st[17, j], st[18, j], st[19, j], st[20, j]]
                     if grad_mode:
                         matv += [st[21, j]]
+                    if pathwise:
+                        matv += [st[22, j]]
                     vals = new_geo + [zero + v for v in matv]
                     attrs = [jnp.where(upd, v, a_) for v, a_ in zip(vals, attrs)]
                 if hidx is None:
@@ -619,6 +626,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     vals += [zero] * 7
                 if grad_mode:
                     vals += [vt[24, vi] + zero]
+                if pathwise:
+                    vals += [zero]  # unreachable: pathwise gate is n_vol==0
                 attrs = [jnp.where(win, v, a_) for v, a_ in zip(vals, attrs)]
 
             lit = alive & ~hit
@@ -794,7 +803,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 
             use_mis = (alive & hit & is_lam) if use_nee else false_v
             blk_a = blk_h = false_v
-            if grad_mode:
+            if grad_mode and not pathwise:
                 g_em_su = [zero * 1.0 for _ in range(3)]
                 g_alb_su = [zero * 1.0 for _ in range(3)]
                 g_clamped = [false_v for _ in range(3)]
@@ -830,7 +839,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 for c in range(3):
                     contrib = jnp.minimum(lsel[13 + c] * atten[c] * scale, FIREFLY)
                     rad[c] = rad[c] + jnp.where(ok, tp[c] * contrib, 0.0)
-                    if grad_mode:
+                    if grad_mode and not pathwise:
                         unclamped = (lsel[13 + c] * atten[c] * scale
                                      < FIREFLY)
                         okf = jnp.where(ok, zero + 1.0, zero)
@@ -838,7 +847,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                         g_em_su[c] = lsel[13 + c] * scale * uf
                         g_alb_su[c] = atten[c] * scale * uf
                         g_clamped[c] = ok & ~unclamped
-                if grad_mode:
+                if grad_mode and not pathwise:
                     g_lslot = lsel[16]
 
             if use_hdri:
@@ -888,7 +897,46 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 dref[bounce_u.astype(jnp.int32)] = pk
 
             alive_next = alive & hit & scattered
-            if grad_mode:
+            if grad_mode and pathwise:
+                # PATHWISE stash: enough per-bounce state to re-derive, in
+                # the reverse sweep, the full position/direction adjoint
+                # (metal/dielectric scatter Jacobians, NEE geometric terms,
+                # intersection-distance backprop).  Everything RNG-derived
+                # (ru, ufr, light sample) is recomputed in reverse from the
+                # counter streams; only the shadow-sweep outcome (blocked)
+                # is stashed as a bit.
+                b_i = bounce_u.astype(jnp.int32)
+                mat_attr = attrs[N_GEO + N_MAT - 1]
+                tex_attr = attrs[N_GEO + N_MAT - 2]
+                for c in range(3):
+                    stash_f[b_i, 0 + c] = tp[c]          # T_k (entry)
+                    stash_f[b_i, 3 + c] = atten[c]       # alb
+                    stash_f[b_i, 6 + c] = p[c]           # hit point
+                    stash_f[b_i, 9 + c] = d[c]           # incoming dir
+                    stash_f[b_i, 12 + c] = nrm[c]        # flipped normal
+                stash_f[b_i, 15] = fuzz
+                stash_f[b_i, 16] = ior
+                # d(nrm)/d(p) = dndp * I for spheres (0 planar/volume)
+                stash_f[b_i, 17] = jnp.where(is_sphere & hit,
+                                             flip * inv_rad, zero)
+                stash_f[b_i, 18] = t_rec
+                # dielectric albedo never enters (atten = 1): slot -3
+                slot = jnp.where(hit & ~is_die, tex_attr * 3.0 + variant,
+                                 zero - 3.0)
+                stash_i[b_i, 0] = slot.astype(jnp.int32)
+                stash_i[b_i, 1] = jnp.where(hit, mat_attr,
+                                            zero - 9.0).astype(jnp.int32)
+                mk = (jnp.where(emit_mask, 1, 0)
+                      | jnp.where(alive_next, 2, 0)
+                      | jnp.where(lit, 4, 0)
+                      | jnp.where(blk_a, 8, 0)
+                      | jnp.where(front, 16, 0)
+                      | jnp.where(is_met & hit, 32, 0)
+                      | jnp.where(is_die & hit, 64, 0)
+                      | jnp.where(hit, 128, 0)
+                      | jnp.where(use_mis, 256, 0))
+                stash_i[b_i, 2] = mk
+            elif grad_mode:
                 # Per-bounce stash for the in-kernel reverse sweep: with
                 # direction-parameter-independent materials (the grad
                 # gate), the adjoint of the whole path is a product-chain
@@ -965,7 +1013,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             # Early-exited blocks' unreached bounces must read as inert:
             # masks 0 (all cotangent terms vanish) and slots -3.
             for b in range(max_depth):
-                for rw in range(12):
+                for rw in range(19 if pathwise else 12):
                     stash_f[b, rw] = zero * 1.0
                 stash_i[b, 0] = (zero_u & np.uint32(0)).astype(jnp.int32) - 3
                 stash_i[b, 1] = (zero_u & np.uint32(0)).astype(jnp.int32) - 9
@@ -997,6 +1045,294 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             rr[...] = rad[0]
             rg[...] = rad[1]
             rb[...] = rad[2]
+
+            if pathwise:
+                # ---- PATHWISE reverse sweep (metal/dielectric admitted).
+                # Carries three cotangent vectors through the bounces in
+                # reverse: λ_tp (throughput), λ_o (origin), λ_d (direction).
+                # Per bounce it (a) recomputes the NEE chain + RNG samples
+                # from the stash, (b) reverses the scatter Jacobians
+                # (reflect / refract / fuzz / IOR), (c) backprops the hit
+                # point through the intersection distance via the implicit-
+                # function rule dt/do = -n/(n.d), dt/dd = t*dt/do (exact for
+                # the quadratic/planar forms the forward uses), and (d)
+                # accumulates texture / fuzz / IOR cotangent rows.
+                # Equivalence-tested against jax.grad of the XLA
+                # differentiable path (tests/test_grad_pathwise.py).
+                g = [gxr[...], gyr[...], gzr[...]]
+                lo_ = [zero * 1.0, zero * 1.0, zero * 1.0]
+                ldv = [zero * 1.0, zero * 1.0, zero * 1.0]
+                ltp = [zero * 1.0, zero * 1.0, zero * 1.0]
+                n_gacc = 9 * n_tex + 2 * n_mat
+                gvec = jnp.zeros((8, LANES), jnp.float32)
+                r8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+                l128 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+                flat_i = r8 * LANES + l128
+                sky_s = (0.5, 0.7, 1.0)
+                first_k = True
+                for k in range(max_depth - 1, -1, -1):
+                    bu = np.uint32(k)
+                    T = [stash_f[k, 0 + c] for c in range(3)]
+                    alb = [stash_f[k, 3 + c] for c in range(3)]
+                    pv = [stash_f[k, 6 + c] for c in range(3)]
+                    din = [stash_f[k, 9 + c] for c in range(3)]
+                    nv = [stash_f[k, 12 + c] for c in range(3)]
+                    # inert bounces stash 0: clamp so 1/io_ stays finite
+                    # (masked lanes must produce 0, not 0 * Inf = NaN)
+                    io_ = jnp.maximum(stash_f[k, 16], 1e-3)
+                    dndp = stash_f[k, 17]
+                    tk = stash_f[k, 18]
+                    slot = stash_i[k, 0]
+                    mslot = stash_i[k, 1]
+                    mk = stash_i[k, 2]
+                    emitf = jnp.where((mk & 1) > 0, zero + 1.0, zero)
+                    Af = jnp.where((mk & 2) > 0, zero + 1.0, zero)
+                    litf = jnp.where((mk & 4) > 0, zero + 1.0, zero)
+                    blkb = (mk & 8) > 0
+                    frontb = (mk & 16) > 0
+                    metf = jnp.where((mk & 32) > 0, zero + 1.0, zero)
+                    dief = jnp.where((mk & 64) > 0, zero + 1.0, zero)
+                    hitf = jnp.where((mk & 128) > 0, zero + 1.0, zero)
+                    misb = (mk & 256) > 0
+                    # RNG recompute: same counters as the forward bounce
+                    su1, su2, _ = uniform3(bu, rngmod.SCATTER_U)
+                    zr = 1.0 - 2.0 * su1
+                    phi = np.float32(2.0 * np.pi) * su2
+                    rrr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zr * zr))
+                    ru = [rrr * jnp.cos(phi), rrr * jnp.sin(phi), zr]
+                    ufr, _, _ = uniform3(bu, rngmod.FRESNEL)
+
+                    # ---- NEE recompute (must mirror the forward block
+                    # op-for-op) + scale partials wrt (p, nrm)
+                    em_su = [zero * 1.0 for _ in range(3)]
+                    alb_su = [zero * 1.0 for _ in range(3)]
+                    clampf = [zero * 1.0 for _ in range(3)]
+                    lp_nee = [zero * 1.0 for _ in range(3)]
+                    ln_nee = [zero * 1.0 for _ in range(3)]
+                    lslot = (zero_u & np.uint32(0)).astype(jnp.int32) - 9
+                    if use_nee:
+                        up, _, _ = uniform3(bu, rngmod.LIGHT_PICK)
+                        li_f = jnp.minimum(jnp.floor(up * float(n_lights)),
+                                           float(n_lights - 1))
+                        ua, ub, _ = uniform3(bu, rngmod.LIGHT_U)
+                        lsel = [zero * 1.0 for _ in range(LT_ROWS)]
+                        for l in range(n_lights):
+                            lmsk = li_f == float(l)
+                            for f in range(LT_ROWS):
+                                lsel[f] = jnp.where(lmsk, lt[f, l] + zero,
+                                                    lsel[f])
+                        lpnt = [lsel[c] + ua * lsel[3 + c] + ub * lsel[6 + c]
+                                for c in range(3)]
+                        tl = [lpnt[c] - pv[c] for c in range(3)]
+                        tl2 = dot3(tl, tl)
+                        dist = jnp.sqrt(jnp.maximum(tl2, 1e-20))
+                        ldir = [tl[c] / dist for c in range(3)]
+                        cos_th = dot3(nv, ldir)
+                        facing = cos_th > 0.0
+                        zlc = -(lsel[9] * ldir[0] + lsel[10] * ldir[1]
+                                + lsel[11] * ldir[2])
+                        cos_l = jnp.abs(zlc)
+                        grazing = cos_l < 1e-3
+                        s2v = cos_l * lsel[12]
+                        s2 = jnp.maximum(s2v, 1e-20)
+                        pdf_l = (dist * dist) / s2
+                        qv = jnp.maximum(pdf_l, 1e-12)
+                        pdf_b = jnp.maximum(cos_th, 0.0) * np.float32(1.0 / np.pi)
+                        rv = jnp.maximum(pdf_l + pdf_b, 1e-20)
+                        weight = pdf_l / rv
+                        scale = cos_th / qv * weight * float(n_lights)
+                        ok = facing & ~blkb & ~grazing & misb
+                        okf = jnp.where(ok, zero + 1.0, zero)
+                        W = zero * 1.0
+                        for c in range(3):
+                            unclamped = lsel[13 + c] * alb[c] * scale < FIREFLY
+                            uf = jnp.where(unclamped, okf, zero)
+                            em_su[c] = lsel[13 + c] * scale * uf
+                            alb_su[c] = alb[c] * scale * uf
+                            clampf[c] = okf - uf
+                            W = W + g[c] * T[c] * lsel[13 + c] * alb[c] * uf
+                        lslot = (lsel[16] * 3.0).astype(jnp.int32)
+                        # sanitize the chain on not-ok lanes BEFORE the
+                        # partials: inv_qr^2 overflows to Inf when both
+                        # pdfs are ~0 (cos_th <= 0), and the W=0 mask
+                        # cannot kill Inf (0 * Inf = NaN).  ok-lane values
+                        # are untouched, so the derivatives are exact.
+                        dist = jnp.where(ok, dist, zero + 1.0)
+                        pdf_l = jnp.where(ok, pdf_l, zero + 1.0)
+                        pdf_b = jnp.where(ok, pdf_b, zero + 1.0)
+                        qv = jnp.where(ok, qv, zero + 1.0)
+                        rv = jnp.where(ok, rv, zero + 1.0)
+                        s2 = jnp.where(ok, s2, zero + 1.0)
+                        # scale = nL * cos_th * pdf_l / (q * r)
+                        q_act = jnp.where(pdf_l > 1e-12, zero + 1.0, zero)
+                        r_act = jnp.where(pdf_l + pdf_b > 1e-20,
+                                          zero + 1.0, zero)
+                        s2_act = jnp.where(s2v > 1e-20, zero + 1.0, zero)
+                        nL = float(n_lights)
+                        inv_qr = 1.0 / (qv * rv)
+                        ds_dcos = nL * pdf_l * inv_qr
+                        ds_dpl = nL * cos_th * (
+                            inv_qr - pdf_l * (q_act * rv + qv * r_act)
+                            * inv_qr * inv_qr)
+                        ds_dpb = -nL * cos_th * pdf_l * r_act * inv_qr / rv
+                        dpb_dcos = jnp.where(cos_th > 0.0,
+                                             zero + np.float32(1.0 / np.pi),
+                                             zero)
+                        c_cos = W * (ds_dcos + ds_dpb * dpb_dcos)
+                        c_pl = W * ds_dpl
+                        c_dist = c_pl * (2.0 * dist / s2)
+                        c_cosl = c_pl * (-(dist * dist) * lsel[12] * s2_act
+                                         / (s2 * s2))
+                        sgn_z = jnp.where(zlc >= 0.0, zero + 1.0, zero - 1.0)
+                        lam_ld = [c_cos * nv[c] - c_cosl * sgn_z * lsel[9 + c]
+                                  for c in range(3)]
+                        ln_nee = [c_cos * ldir[c] for c in range(3)]
+                        ldd = dot3(ldir, lam_ld)
+                        dist_act = jnp.where(tl2 > 1e-20, zero + 1.0, zero)
+                        lam_tl = [(lam_ld[c] - dist_act * ldir[c] * ldd) / dist
+                                  + c_dist * dist_act * ldir[c]
+                                  for c in range(3)]
+                        lp_nee = [-lam_tl[c] for c in range(3)]
+
+                    # ---- scatter Jacobian reverse (u = λ_{d_{k+1}})
+                    u = ldv
+                    lamf = (1.0 - metf) * (1.0 - dief)
+                    # metal: new_d = rfl/|rfl| + fuzz*ru
+                    ddn_f = dot3(din, nv)
+                    rfl = [din[c] - nv[c] * (2.0 * ddn_f) for c in range(3)]
+                    rlen = jnp.sqrt(jnp.maximum(dot3(rfl, rfl), 1e-20))
+                    rhat = [rfl[c] / rlen for c in range(3)]
+                    cot_fuzz = Af * metf * dot3(ru, u)
+                    rhu = dot3(rhat, u)
+                    vv = [(u[c] - rhat[c] * rhu) / rlen for c in range(3)]
+                    nvv = dot3(nv, vv)
+                    l_din_met = [vv[c] - 2.0 * nv[c] * nvv for c in range(3)]
+                    l_n_met = [-2.0 * din[c] * nvv - 2.0 * ddn_f * vv[c]
+                               for c in range(3)]
+                    # dielectric: reflect/refract on unit ud (branch frozen)
+                    dlen = jnp.sqrt(jnp.maximum(dot3(din, din), 1e-20))
+                    ud = [din[c] / dlen for c in range(3)]
+                    udn = dot3(ud, nv)
+                    cos_t = jnp.minimum(-udn, 1.0)
+                    ct_act = jnp.where(-udn < 1.0, zero + 1.0, zero)
+                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                    ri = jnp.where(frontb, 1.0 / io_, io_)
+                    cannot = ri * sin_t > 1.0
+                    r0s = (1.0 - ri) / (1.0 + ri)
+                    r0s = r0s * r0s
+                    omc = jnp.maximum(1.0 - cos_t, 0.0)
+                    omc2 = omc * omc
+                    schl = r0s + (1.0 - r0s) * omc2 * omc2 * omc
+                    do_refl = cannot | (schl > ufr)
+                    nu = dot3(nv, u)
+                    l_ud_r = [u[c] - 2.0 * nv[c] * nu for c in range(3)]
+                    l_n_r = [-2.0 * ud[c] * nu - 2.0 * udn * u[c]
+                             for c in range(3)]
+                    perp = [(ud[c] + nv[c] * cos_t) * ri for c in range(3)]
+                    pp = dot3(perp, perp)
+                    xv = 1.0 - pp
+                    parl = -jnp.sqrt(jnp.maximum(jnp.abs(xv), 1e-20))
+                    sx_act = (jnp.where(xv >= 0.0, zero + 1.0, zero - 1.0)
+                              * jnp.where(jnp.abs(xv) > 1e-20,
+                                          zero + 1.0, zero))
+                    l_parl = nu
+                    l_perp = [u[c] - sx_act * (l_parl / parl) * perp[c]
+                              for c in range(3)]
+                    npp = dot3(nv, l_perp)
+                    l_ud_t = [ri * (l_perp[c] - ct_act * nv[c] * npp)
+                              for c in range(3)]
+                    l_n_t = [ri * (cos_t * l_perp[c] - ct_act * ud[c] * npp)
+                             + parl * u[c] for c in range(3)]
+                    cot_ri = (ud[0] + nv[0] * cos_t) * l_perp[0] + \
+                        (ud[1] + nv[1] * cos_t) * l_perp[1] + \
+                        (ud[2] + nv[2] * cos_t) * l_perp[2]
+                    reflf = jnp.where(do_refl, zero + 1.0, zero)
+                    dri = jnp.where(frontb, -1.0 / (io_ * io_), zero + 1.0)
+                    cot_ior = (Af * dief * (1.0 - reflf) * cot_ri * dri
+                               * jnp.where(io_ > 1e-3, zero + 1.0, zero))
+                    l_ud = [reflf * l_ud_r[c] + (1.0 - reflf) * l_ud_t[c]
+                            for c in range(3)]
+                    l_n_die = [reflf * l_n_r[c] + (1.0 - reflf) * l_n_t[c]
+                               for c in range(3)]
+                    udu = dot3(ud, l_ud)
+                    l_din_die = [(l_ud[c] - ud[c] * udu) / dlen
+                                 for c in range(3)]
+
+                    l_n_s = [Af * (lamf * u[c] + metf * l_n_met[c]
+                                   + dief * l_n_die[c]) for c in range(3)]
+                    l_din_s = [Af * (metf * l_din_met[c]
+                                     + dief * l_din_die[c])
+                               for c in range(3)]
+
+                    # ---- texture-slot cotangents + λ_tp recurrence
+                    cot_alb = [g[c] * T[c] * (emitf + em_su[c])
+                               + ltp[c] * T[c] * Af for c in range(3)]
+                    cot_lem = [g[c] * T[c] * alb_su[c] for c in range(3)]
+                    # miss color recompute (din IS the miss direction on
+                    # lit lanes)
+                    if miss_cfg[0] == "sky":
+                        dl2 = jnp.maximum(dot3(din, din), 1e-20)
+                        dlm = jnp.sqrt(dl2)
+                        aa = 0.5 * (din[1] / dlm + 1.0)
+                        mc = [1.0 + aa * (sky_s[c] - 1.0) for c in range(3)]
+                        w_sky = (g[0] * T[0] * (sky_s[0] - 1.0)
+                                 + g[1] * T[1] * (sky_s[1] - 1.0)
+                                 + g[2] * T[2] * (sky_s[2] - 1.0))
+                        l_d_sky = [litf * w_sky * 0.5
+                                   * (((zero + 1.0) if c == 1 else zero)
+                                      / dlm - din[1] * din[c] / (dl2 * dlm))
+                                   for c in range(3)]
+                    else:
+                        mc = [zero + np.float32(miss_cfg[1 + c])
+                              for c in range(3)]
+                        l_d_sky = [zero * 1.0 for _ in range(3)]
+                    ltp = [ltp[c] * (Af * alb[c] + (1.0 - Af))
+                           + g[c] * (alb[c] * emitf + em_su[c] * alb[c]
+                                     + FIREFLY * clampf[c])
+                           + litf * g[c] * mc[c] for c in range(3)]
+
+                    # ---- assemble λ_p / λ_n, backprop the intersection
+                    lam_n = [l_n_s[c] + ln_nee[c] for c in range(3)]
+                    lam_p = [Af * lo_[c] + lp_nee[c] + dndp * lam_n[c]
+                             for c in range(3)]
+                    den = dot3(nv, din)
+                    dsafe = jnp.where(jnp.abs(den) > 1e-20, den, zero + 1.0)
+                    dlp = dot3(din, lam_p)
+                    bb = [hitf * (lam_p[c] - nv[c] * dlp / dsafe)
+                          for c in range(3)]
+                    lo_ = [(1.0 - Af) * lo_[c] + bb[c] for c in range(3)]
+                    ldv = [(1.0 - Af) * ldv[c] + l_din_s[c] + tk * bb[c]
+                           + l_d_sky[c] for c in range(3)]
+
+                    # ---- accumulate cotangent rows per parameter slot
+                    for sc in range(3 * n_tex):
+                        am = slot == sc
+                        lm = lslot == sc
+                        for c in range(3):
+                            contrib = (jnp.where(am, cot_alb[c], 0.0)
+                                       + jnp.where(lm, cot_lem[c], 0.0))
+                            if first_k:
+                                gacc[sc * 3 + c] = contrib
+                            else:
+                                gacc[sc * 3 + c] = gacc[sc * 3 + c] + contrib
+                    for mi in range(n_mat):
+                        fm = mslot == mi
+                        fz_row = 9 * n_tex + 2 * mi
+                        io_row = fz_row + 1
+                        cf = jnp.where(fm, cot_fuzz, 0.0)
+                        ci = jnp.where(fm, cot_ior, 0.0)
+                        if first_k:
+                            gacc[fz_row] = cf
+                            gacc[io_row] = ci
+                        else:
+                            gacc[fz_row] = gacc[fz_row] + cf
+                            gacc[io_row] = gacc[io_row] + ci
+                    first_k = False
+                for sc in range(n_gacc):
+                    v = jnp.sum(gacc[sc])
+                    gvec = gvec + v * jnp.where(flat_i == sc, 1.0, 0.0)
+                gout[...] = gvec
+                return
 
             # ---- reverse sweep: R_k = s_k + aeff_k * R_{k+1};
             # cot(alb)_c = g_c T_c (R_c*alive_next + emit + em_su_c),
@@ -1191,20 +1527,47 @@ def grad_applicable(scene, max_depth: int) -> bool:
     return 9 * n_tex <= 8 * LANES
 
 
+def grad_pathwise_applicable(scene, max_depth: int) -> bool:
+    """Static gate for the PATHWISE gradient megakernel: admits metal and
+    dielectric (fuzz / IOR gradients via in-kernel scatter-direction
+    adjoints + intersection backprop), still excludes environment maps
+    (env texel gradients need the XLA quad-table path), noise textures
+    (marble albedo depends continuously on p; its adjoint is not in the
+    kernel), and volumes (the scatter-distance adjoint through the
+    boundary window is not implemented — all-diffuse volume scenes take
+    the cheaper product-chain kernel instead, see grad_applicable)."""
+    if not applicable(scene):
+        return False
+    if scene.env is not None:
+        return False
+    if scene.has_noise:
+        return False
+    if scene.n_volumes:
+        return False
+    if max_depth > 12:
+        return False
+    n_tex = int(scene.textures.color.shape[0])
+    n_mat = int(scene.materials.kind.shape[0])
+    return 9 * n_tex + 2 * n_mat <= 8 * LANES
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
                      "n_lights", "has_checker", "max_depth", "n_tex",
-                     "miss_cfg", "block_rows", "sph_seg"),
+                     "miss_cfg", "block_rows", "sph_seg", "pathwise",
+                     "n_mat"),
 )
 def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
                n_planar,
                n_sphere, n_sph_seg, n_vol, n_lights, has_checker, max_depth,
-               n_tex, miss_cfg, block_rows=BLOCK_ROWS, sph_seg=None):
+               n_tex, miss_cfg, block_rows=BLOCK_ROWS, sph_seg=None,
+               pathwise=False, n_mat=0):
     """Gradient megakernel launch.  gx/gy/gz: [R] per-channel loss
     cotangent rows (dL/d(radiance); zero for padding lanes).  Returns
     (rad V3 [R], grads [n_tex, 3, 3]) where grads[t, v, c] is
-    d L / d theta[t, v, c] with v in (color, even_color, odd_color)."""
+    d L / d theta[t, v, c] with v in (color, even_color, odd_color);
+    in pathwise mode additionally (fuzz [n_mat], ior [n_mat])."""
     from ..core.vec3 import V3
 
     oc = [o.x, o.y, o.z]
@@ -1232,20 +1595,23 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
     gout_spec = pl.BlockSpec((8, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
 
+    n_gacc = 9 * max(n_tex, 1) + (2 * n_mat if pathwise else 0)
+    assert n_gacc <= 8 * LANES, "parameter slots exceed the [8,128] gout"
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
                     has_checker, max_depth, grad_mode=True, n_tex=n_tex,
-                    miss_cfg=miss_cfg, sph_seg=sph_seg),
+                    miss_cfg=miss_cfg, sph_seg=sph_seg, pathwise=pathwise,
+                    n_mat=n_mat),
         grid=grid,
         in_specs=[smem] * 7 + [ray_spec] * 11,
         out_specs=[out_spec] * 3 + [gout_spec],
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((max_depth, 12, block_rows, LANES), jnp.float32),
+            pltpu.VMEM((max_depth, 19 if pathwise else 12, block_rows,
+                        LANES), jnp.float32),
             pltpu.VMEM((max_depth, 3, block_rows, LANES), jnp.int32),
-            pltpu.VMEM((9 * max(n_tex, 1), block_rows, LANES),
-                       jnp.float32),
+            pltpu.VMEM((n_gacc, block_rows, LANES), jnp.float32),
         ],
         interpret=INTERPRET,
     )(
@@ -1257,13 +1623,18 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
     rad = V3(flat[0], flat[1], flat[2])
     gsum = outs[3].reshape(n_blocks, 8 * LANES).sum(axis=0)
     grads = gsum[: 9 * n_tex].reshape(n_tex, 3, 3)
-    return rad, grads
+    if not pathwise:
+        return rad, grads
+    mg = gsum[9 * n_tex: 9 * n_tex + 2 * n_mat].reshape(n_mat, 2)
+    return rad, grads, mg[:, 0], mg[:, 1]
 
 
-def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3):
+def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
+                    pathwise=False):
     """Run the gradient megakernel for one ray chunk (see grad_applicable
-    for the gate).  Returns (rad V3, dict of texture-table grads:
-    color / even_color / odd_color, each [n_tex, 3])."""
+    / grad_pathwise_applicable for the gates).  Returns (rad V3, dict of
+    texture-table grads: color / even_color / odd_color, each [n_tex, 3];
+    pathwise mode adds fuzz / ior, each [n_mat])."""
     pt, st, sb, vt, lt, n_planar, n_sphere, n_sph_seg, n_vol, n_lights = (
         build_tables(scene, sph_seg=SPH_SEG)
     )
@@ -1276,7 +1647,8 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3):
         bg = tuple(float(x) for x in np.asarray(cam.background).reshape(3))
         miss_cfg = ("flat",) + bg
     n_tex = int(scene.textures.color.shape[0])
-    rad, grads = _call_grad(
+    n_mat = int(scene.materials.kind.shape[0]) if pathwise else 0
+    out = _call_grad(
         pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream,
         g3[0], g3[1], g3[2],
         n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
@@ -1284,10 +1656,15 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3):
         has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),
         n_tex=n_tex, miss_cfg=miss_cfg,
         block_rows=SPH_BLOCK_ROWS if n_sph_seg else BLOCK_ROWS,
-        sph_seg=SPH_SEG,
+        sph_seg=SPH_SEG, pathwise=pathwise, n_mat=n_mat,
     )
+    if not pathwise:
+        rad, grads = out
+        return rad, dict(color=grads[:, 0], even_color=grads[:, 1],
+                         odd_color=grads[:, 2])
+    rad, grads, gfuzz, gior = out
     return rad, dict(color=grads[:, 0], even_color=grads[:, 1],
-                     odd_color=grads[:, 2])
+                     odd_color=grads[:, 2], fuzz=gfuzz, ior=gior)
 
 
 @functools.partial(

@@ -90,9 +90,10 @@ def _record_chunk(scene: Scene, cam: Camera, accum, ray_start, seed, *,
 
 
 @partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth"))
+         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"))
 def _grad_kernel_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
-                       seed, *, spp: int, chunk: int, max_depth: int):
+                       seed, *, spp: int, chunk: int, max_depth: int,
+                       pathwise: bool = False):
     """One chunk of the GRADIENT MEGAKERNEL path: the whole fwd+bwd of
     the bounce loop runs in one pallas kernel (ops/pallas_wavefront
     grad_mode — gate: pallas_wavefront.grad_applicable).  Returns the
@@ -117,7 +118,8 @@ def _grad_kernel_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
                                           (reps, n_virt)).reshape(chunk), 0.0)
         for c in range(3)
     )
-    _, grads = mega.grad_megakernel(scene, cam2, o, d, tm, stream, seed, g3)
+    _, grads = mega.grad_megakernel(scene, cam2, o, d, tm, stream, seed, g3,
+                                    pathwise=pathwise)
     return grads
 
 
@@ -208,8 +210,15 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     # ~10x the XLA replay backward; equivalence tested vs it.
     from ..ops import pallas_wavefront as mega
 
-    if (mega.grad_applicable(scene, max_depth)
-            and os.environ.get("GRT_NO_GRADKERNEL") != "1"):
+    kern_ok = os.environ.get("GRT_NO_GRADKERNEL") != "1"
+    use_product = kern_ok and mega.grad_applicable(scene, max_depth)
+    # PATHWISE kernel: metal/dielectric scenes (fuzz/IOR gradients via
+    # in-kernel scatter-direction adjoints).  The all-diffuse product
+    # chain stays preferred where it applies (lighter stash + reverse).
+    use_pathwise = (kern_ok and not use_product
+                    and mega.grad_pathwise_applicable(scene, max_depth)
+                    and os.environ.get("GRT_NO_PATHWISE") != "1")
+    if use_product or use_pathwise:
         kchunk = max(rmod.pick_chunk_size(scene), 1024)
         kchunk = min(kchunk, max(1024, -(-total // 1024) * 1024))
         kchunk = max(kchunk // n_virt, 1) * n_virt  # sample-aligned
@@ -233,8 +242,9 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         while pos < total:
             g = _grad_kernel_chunk(scene, cam, g_virt, jnp.uint32(pos),
                                    seed, spp=spp, chunk=kchunk,
-                                   max_depth=max_depth)
-            for k in ("color", "even_color", "odd_color"):
+                                   max_depth=max_depth,
+                                   pathwise=use_pathwise)
+            for k in g:
                 grads[k] = grads[k] + g[k]
             pos += kchunk
         if stats is not None:

@@ -1,0 +1,189 @@
+"""PATHWISE gradient megakernel equivalence (metal / dielectric).
+
+The pathwise kernel extends the product-chain gradient megakernel with
+full position/direction adjoints: reflect/refract/fuzz scatter Jacobians,
+intersection-distance backprop (implicit-function rule), and the NEE
+geometric partials.  These tests pin it, in interpret mode, against
+jax.grad of the differentiable XLA path AND a finite-difference oracle on
+scenes exercising every new gradient source: metal fuzz (zero and
+non-zero), dielectric IOR (refraction + TIR + Schlick branches), albedo
+behind a specular chain, checker even/odd behind a reflection, NEE on
+lambertian surfaces seen through metal, and both miss shaders (flat
+background and the sky gradient, whose direction derivative flows back
+through the specular chain).
+
+Reference parity: rt/material.go:113-136 (Phong-lobe metal fuzz),
+rt/material.go:164-196 (Schlick/TIR dielectric) stay differentiable
+end-to-end in the reference's role as an inverse-rendering target.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import go_raytracing_tpu as grt
+from go_raytracing_tpu.camera import Camera, generate_rays
+from go_raytracing_tpu.integrator import wavefront
+from go_raytracing_tpu.ops import pallas_wavefront as mega
+from go_raytracing_tpu.parallel.sharding import apply_params, trainable_params
+
+
+def _mini_glossy(background=(0.02, 0.01, 0.03)):
+    """Cornell-glossy-like miniature: metal + dielectric + lambertian +
+    checker + quad light, no volumes (pathwise gate excludes them)."""
+    b = grt.SceneBuilder()
+    white = b.lambertian((0.73, 0.72, 0.71))
+    checker = b.lambertian(b.checker(0.5, (0.2, 0.3, 0.1), (0.9, 0.9, 0.8)))
+    gold = b.metal((0.8, 0.6, 0.2), fuzz=0.25)
+    mirror = b.metal((0.9, 0.9, 0.9), fuzz=0.0)
+    glass = b.dielectric(1.5)
+    light = b.diffuse_light((13.0, 12.0, 11.0))
+    b.quad((-6, 0, -6), (12, 0, 0), (0, 0, 12), checker)   # floor
+    b.quad((-6, 0, -6), (0, 8, 0), (12, 0, 0), white)      # back wall
+    q = b.quad((-1.5, 7.9, -1.5), (3, 0, 0), (0, 0, 3), light)
+    b.add_light(q)
+    b.sphere((-2.2, 1.2, 0.0), 1.2, gold)
+    b.sphere((0.0, 1.0, 1.2), 1.0, glass)
+    b.sphere((2.2, 1.2, 0.0), 1.2, mirror)
+    b.sphere((0.0, 1.0, -2.0), 1.0, white)
+    scene = b.build()
+    cam = Camera(image_width=24, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=5, look_from=(0, 3, 9), look_at=(0, 1.5, 0),
+                 vfov=45.0, background=background)
+    return scene, cam
+
+
+def _rays_and_g(cam, r, seed=0):
+    ids = jnp.arange(r, dtype=jnp.uint32)
+    w = cam.image_width
+    px = ((ids % (w * w)) % w).astype(jnp.int32)
+    py = ((ids % (w * w)) // w).astype(jnp.int32)
+    o, d, tm = generate_rays(cam, px, py, ids, seed)
+    g = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(r, 3)) * 1e-3, jnp.float32)
+    return o, d, tm, ids, g
+
+
+def _kernel_and_autodiff(scene, cam):
+    r = cam.image_width * cam.image_width * 4
+    o, d, tm, ids, g = _rays_and_g(cam, r)
+
+    rad_k, gk = mega.grad_megakernel(
+        scene, cam, o, d, tm, ids, 0, (g[:, 0], g[:, 1], g[:, 2]),
+        pathwise=True)
+
+    rad_ref = wavefront.trace(scene, cam, o, d, tm, ids, 0,
+                              differentiable=False)
+
+    def inner(params):
+        s = apply_params(scene, params)
+        rad = wavefront.trace(s, cam, o, d, tm, ids, 0,
+                              differentiable=True)
+        return jnp.sum(rad.rows() * g)
+
+    gx = jax.grad(inner)(trainable_params(scene))
+    return rad_k, rad_ref, gk, gx, (o, d, tm, ids, g)
+
+
+@pytest.mark.parametrize("background", ["flat", "sky"])
+def test_pathwise_kernel_matches_autodiff(background):
+    scene, cam = _mini_glossy()
+    if background == "sky":
+        cam = dataclasses.replace(cam, use_sky_gradient=True)
+    mega.INTERPRET = True
+    try:
+        assert mega.grad_pathwise_applicable(scene, cam.max_depth)
+        assert not mega.grad_applicable(scene, cam.max_depth)
+        rad_k, rad_ref, gk, gx, _ = _kernel_and_autodiff(scene, cam)
+
+        np.testing.assert_allclose(
+            np.asarray(rad_k.rows()), np.asarray(rad_ref.rows()),
+            rtol=1e-4, atol=1e-5)
+
+        for k in ("color", "even_color", "odd_color", "fuzz", "ior"):
+            assert np.abs(np.asarray(gx[k])).max() > 1e-6, \
+                f"autodiff produced no {k} signal; test scene too weak"
+            np.testing.assert_allclose(
+                np.asarray(gk[k]), np.asarray(gx[k]), rtol=5e-3,
+                atol=3e-6, err_msg=k)
+    finally:
+        mega.INTERPRET = False
+
+
+def test_pathwise_fuzz_ior_perturbation_matches_xla():
+    """The kernel FORWARD must respond to fuzz/IOR perturbations exactly
+    like the XLA forward: central differences of the two implementations
+    agree at finite h.  NOTE this deliberately does NOT use FD as a
+    gradient oracle — fuzz/ior move scattered rays across visibility
+    boundaries, so FD is dominated by the discontinuity jumps that the
+    pathwise derivative correctly excludes (measured on this scene: FD
+    swings -0.067 -> -0.133 between h=2e-3 and 5e-3 while jax.grad and
+    the kernel adjoint both give -0.0028; kernel-FD vs XLA-FD agree to
+    5e-4 relative at every h).  The gradient itself is pinned against
+    jax.grad in test_pathwise_kernel_matches_autodiff."""
+    scene, cam = _mini_glossy()
+    mega.INTERPRET = True
+    try:
+        r = cam.image_width * cam.image_width * 4
+        o, d, tm, ids, g = _rays_and_g(cam, r)
+
+        def loss_kernel(params):
+            s = apply_params(scene, params)
+            rad, _ = mega.grad_megakernel(
+                s, cam, o, d, tm, ids, 0,
+                (g[:, 0], g[:, 1], g[:, 2]), pathwise=True)
+            return float(jnp.sum(rad.rows() * g))
+
+        def loss_xla(params):
+            s = apply_params(scene, params)
+            rad = wavefront.trace(s, cam, o, d, tm, ids, 0,
+                                  differentiable=True)
+            return float(jnp.sum(rad.rows() * g))
+
+        p0 = trainable_params(scene)
+        kinds = np.asarray(scene.materials.kind)
+        h = 2e-3
+        for key, mi in (("fuzz", int(np.nonzero(kinds == 1)[0][0])),
+                        ("ior", int(np.nonzero(kinds == 2)[0][0]))):
+            pp = dict(p0)
+            pp[key] = p0[key].at[mi].add(h)
+            pm = dict(p0)
+            pm[key] = p0[key].at[mi].add(-h)
+            fd_k = (loss_kernel(pp) - loss_kernel(pm)) / (2 * h)
+            fd_x = (loss_xla(pp) - loss_xla(pm)) / (2 * h)
+            assert abs(fd_x) > 1e-4, f"perturbation produced no {key} signal"
+            np.testing.assert_allclose(fd_k, fd_x, rtol=5e-3,
+                                       err_msg=f"{key}[{mi}]")
+    finally:
+        mega.INTERPRET = False
+
+
+def test_render_grad_routes_pathwise_and_matches():
+    """render_grad uses the pathwise kernel for metal/dielectric scenes;
+    loss/grads match the XLA replay path."""
+    import os
+
+    from go_raytracing_tpu.render.grad import render_grad
+
+    scene, cam = _mini_glossy()
+    cam = dataclasses.replace(cam, image_width=16, samples_per_pixel=2,
+                              max_depth=4)
+    target = np.zeros((16, 16, 3), np.float32)
+    mega.INTERPRET = True
+    try:
+        loss_k, gk = render_grad(scene, cam, target, spp=2, seed=0)
+        os.environ["GRT_NO_GRADKERNEL"] = "1"
+        try:
+            loss_x, gx = render_grad(scene, cam, target, spp=2, seed=0)
+        finally:
+            del os.environ["GRT_NO_GRADKERNEL"]
+        np.testing.assert_allclose(float(loss_k), float(loss_x), rtol=1e-5)
+        for k in gx:
+            np.testing.assert_allclose(
+                np.asarray(gk[k]), np.asarray(gx[k]), rtol=6e-3,
+                atol=1e-8, err_msg=k)
+    finally:
+        mega.INTERPRET = False
