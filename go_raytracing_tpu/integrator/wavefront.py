@@ -43,6 +43,7 @@ from ..core.vec3 import V3
 from ..geometry import mesh_bvh, packs
 from ..geometry.scene import Scene
 from ..materials import tables as mats
+from ..materials import textures as tex
 from ..lights import hdri as hdri_mod
 from ..camera import Camera
 
@@ -1038,14 +1039,78 @@ def _promote_vma(x, axes):
     return jax.tree_util.tree_map(one, x)
 
 
+def image_prefactor_ok(scene: Scene) -> bool:
+    """Static gate (concrete scene, outside jit) for the DEFERRED IMAGE
+    ALBEDO factorization: with exactly one sphere, an image-lambertian
+    material on it, and no lights / env / other geometry, an image hit
+    can only happen on the PRIMARY segment (a cosine-hemisphere scatter
+    off a convex body never re-enters it) and every radiance term is a
+    miss term scaled once by its albedo — so
+        radiance == albedo(primary u,v) * radiance(albedo := 1)
+    exactly.  The megakernel then runs on the stripped scene and ONE
+    XLA row-gather per camera ray applies the texels (the earth scene,
+    rt/scenes.go:242-273 + rt/image_texture.go:26-41; per-ray gathers in
+    the bounce loop are the reason image scenes were excluded from the
+    kernel, CLAUDE.md perf rule 2)."""
+    import numpy as np
+
+    if not scene.has_image or scene.env is not None:
+        return False
+    if scene.n_lights or scene.n_volumes or scene.meshes:
+        return False
+    if scene.planar.d.shape[0] != 0 or scene.spheres.radius.shape[0] != 1:
+        return False
+    mat = int(np.asarray(scene.spheres.mat)[0])
+    if int(np.asarray(scene.materials.kind)[mat]) != mats.MAT_LAMBERTIAN:
+        return False
+    tex_id = int(np.asarray(scene.materials.tex)[mat])
+    return int(np.asarray(scene.textures.kind)[tex_id]) == tex.TEX_IMAGE
+
+
+def _strip_image(scene: Scene) -> Scene:
+    """Image textures -> solid white (traced ops; static has_image flag
+    flips so the kernels see a gather-free scene)."""
+    import dataclasses
+
+    tp = scene.textures
+    is_img = tp.kind == tex.TEX_IMAGE
+    stripped = tp._replace(
+        kind=jnp.where(is_img, tex.TEX_SOLID, tp.kind),
+        color=jnp.where(is_img[:, None], 1.0, tp.color),
+    )
+    return dataclasses.replace(scene, textures=stripped, has_image=False)
+
+
+def _primary_image_factor(scene: Scene, o: V3, d: V3, tm) -> V3:
+    """Per-camera-ray image albedo at the primary sphere hit (1.0 on
+    miss).  Root selection/eps identical to the closest-hit sweep."""
+    r_ = o.x.shape[0]
+    t_s, i_s, h_s = packs.intersect_spheres(
+        scene.spheres, o.rows(), d.rows(), tm, vec.EPS_HIT,
+        jnp.full((r_,), BIG))
+    t_rec = jnp.where(h_s, t_s, 1.0)
+    p, _, _, uu, vv, mat = _sphere_record(
+        scene.spheres, jnp.zeros((r_,), jnp.int32), o, d, tm, t_rec)
+    tex_id = fetch.rows_fetch([scene.materials.tex], mat)[0]
+    albedo = tex.evaluate(scene.textures, tex_id, uu, vv, p,
+                          has_noise=False, has_image=True)
+    return V3.select(h_s, albedo, V3.full((r_,), (1.0, 1.0, 1.0)))
+
+
 def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:
-    """Static megakernel dispatch decision: 'off' | 'single' | 'split'.
+    """Static megakernel dispatch decision: 'off' | 'single' | 'split' |
+    'image' (single + deferred-image-albedo prefactor).
     Callers that jit around trace() should compute this OUTSIDE the jit
     and pass it as a static argument, so flipping megakernel flags (env
     vars, INTERPRET) retraces instead of silently reusing a cached
     executable."""
+    import dataclasses
+
     from ..ops import pallas_wavefront as mega
 
+    if (not differentiable and image_prefactor_ok(scene)
+            and mega.applicable(dataclasses.replace(scene, has_image=False))):
+        return "image"
     if differentiable or not mega.applicable(scene):
         return "off"
     use_hdri = scene.env is not None and scene.env_importance
@@ -1118,9 +1183,13 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         mega_mode = "off"  # decision recording is single-phase only
     elif record and mega_mode == "compact":
         mega_mode = "single"  # recording stays at kernel speed
+    elif record and mega_mode == "image":
+        mega_mode = "off"  # replay owns image scenes (gather integrator)
     if mega_mode != "off":
+        img_mode = mega_mode == "image"
+        s_mega = _strip_image(scene) if img_mode else scene
         res = mega.trace_megakernel(
-            scene, cam, o, d, tm, stream, seed,
+            s_mega, cam, o, d, tm, stream, seed,
             split=(mega_mode == "split"), record=record,
             compact=(mega_mode == "compact"),
         )
@@ -1135,6 +1204,10 @@ def trace(scene: Scene, cam: Camera, o, d, tm, stream, seed, *,
         rad = radiance + V3.select(
             missed, miss_tp * miss_col, V3.zeros((r,), f32)
         )
+        if img_mode:
+            # Deferred image albedo: one row gather per CAMERA ray
+            # (image_prefactor_ok proves the factorization exact).
+            rad = rad * _primary_image_factor(scene, o, d, tm)
         # megakernel scenes have no meshes (mega.applicable) -> no frontier
         out = (rad,)
         if with_stats:

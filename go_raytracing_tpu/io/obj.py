@@ -106,6 +106,118 @@ def lucy_standin(segments: int = 48, rings: int = 40,
     return verts, np.asarray(tris, np.int64)
 
 
+def _grid_tris(nu: int, nv: int, base: int, wrap_u: bool = True):
+    """Quad-grid triangle indices for a (nv, nu) vertex lattice laid out
+    row-major starting at ``base``; u wraps (closed in angle)."""
+    tris = []
+    us = nu if wrap_u else nu - 1
+    for r in range(nv - 1):
+        for s in range(us):
+            a = base + r * nu + s
+            b = base + r * nu + (s + 1) % nu
+            c = base + (r + 1) * nu + s
+            d = base + (r + 1) * nu + (s + 1) % nu
+            tris.append((a, b, c))
+            tris.append((b, d, c))
+    return tris
+
+
+def statue_standin(detail: int = 256, roughness: float = 0.3):
+    """Statue-GRADE synthetic in Lucy's bounding box: multi-lobed,
+    thin-shelled, self-occluding — the BVH/cull stress profile of a real
+    scanned statue, beyond what a (noised) single lathe exercises
+    (VERDICT r3 #9; rt/obj_loader.go:105-112 — the real lucy_low.obj is
+    an lfs stub in this checkout).
+
+    Union of: a folded body lathe, TWO twisted tori "wings" piercing the
+    torso (high genus + self-occlusion), and a thin two-sheet "robe"
+    shell around the lower body (near-parallel surfaces ~15 units apart
+    — the thin-feature case that defeats loose culling).  All surfaces
+    carry incommensurate-octave sine displacement.  ``detail=256`` ->
+    ~281K triangles (the reference's 280K devlog scale); counts scale
+    ~quadratically with ``detail``.
+    """
+    verts_all: list = []
+    tris_all: list = []
+
+    def fbm(th, tv, amp):
+        return amp * (
+            0.50 * np.sin(7.0 * th + 23.0 * tv)
+            + 0.30 * np.sin(13.0 * th - 41.0 * tv + 1.7)
+            + 0.15 * np.sin(29.0 * th + 83.0 * tv + 0.6)
+            + 0.05 * np.sin(61.0 * th - 167.0 * tv + 2.9)
+        )
+
+    def add(verts, tris_idx):
+        base = sum(len(v) for v in verts_all)
+        verts_all.append(verts.reshape(-1, 3))
+        tris_all.extend((a + 0, b + 0, c + 0)
+                        for a, b, c in np.asarray(tris_idx) + base)
+
+    # --- body: folded lathe (reuses the lucy_standin profile) ----------
+    b_seg = detail
+    b_rng = int(detail * 0.86)
+    bv, bt = lucy_standin(b_seg, b_rng, roughness)
+    add(bv, bt)
+
+    # --- wings: two twisted tori piercing the torso --------------------
+    w_seg = int(detail * 0.70)   # around the tube path
+    w_tube = int(detail * 0.33)  # around the tube cross-section
+    for side, (cx, tilt) in enumerate(((-180.0, 0.9), (180.0, -0.9))):
+        u = np.linspace(0, 2 * np.pi, w_seg, endpoint=False)[:, None]
+        v = np.linspace(0, 2 * np.pi, w_tube, endpoint=False)[None, :]
+        R, r0 = 260.0, 55.0
+        # tube radius varies along the path (feather-like lobes) and the
+        # cross-section TWISTS with u (no axis-aligned structure).
+        r = r0 * (1.0 + 0.45 * np.sin(3.0 * u + side)) \
+            + fbm(v + 0 * u, u / (2 * np.pi), roughness * 40.0)
+        tw = v + 2.0 * u
+        # torus in a tilted plane, lifted to shoulder height
+        px = (R + r * np.cos(tw)) * np.cos(u)
+        py = (R + r * np.cos(tw)) * np.sin(u) * np.cos(tilt) \
+            + r * np.sin(tw) * 0.6 + 1050.0
+        pz = (R + r * np.cos(tw)) * np.sin(u) * np.sin(tilt) * 0.55 \
+            + r * np.sin(tw) * 0.5
+        verts = np.stack(np.broadcast_arrays(px + cx, py, pz), axis=-1)
+        # close the v-seam too: treat as (w_seg x w_tube) doubly-wrapped
+        tris = []
+        for a_ in range(w_seg):
+            for b_ in range(w_tube):
+                i00 = a_ * w_tube + b_
+                i01 = a_ * w_tube + (b_ + 1) % w_tube
+                i10 = ((a_ + 1) % w_seg) * w_tube + b_
+                i11 = ((a_ + 1) % w_seg) * w_tube + (b_ + 1) % w_tube
+                tris.append((i00, i01, i10))
+                tris.append((i01, i11, i10))
+        add(verts, tris)
+
+    # --- robe: thin two-sheet shell around the lower body --------------
+    s_seg = int(detail * 0.55)
+    s_rng = int(detail * 0.40)
+    ys = np.linspace(0.0, 800.0, s_rng)
+    t = ys / 1597.0
+    prof = 300.0 + 420.0 * np.exp(-((t - 0.02) ** 2) / 0.02) - 260.0 * t
+    ang = np.linspace(0, 2 * np.pi, s_seg, endpoint=False)
+    th = np.broadcast_to(ang[None, :], (s_rng, s_seg))
+    tv = np.broadcast_to(t[:, None], (s_rng, s_seg))
+    folds = fbm(5.0 * th, 9.0 * tv, roughness * 120.0)
+    for off in (0.0, 15.0):  # two sheets 15 units apart
+        rad = np.broadcast_to(prof[:, None], th.shape) + folds + off
+        vx = rad * np.cos(ang)[None, :]
+        vz = rad * np.sin(ang)[None, :] * 0.55
+        vy = np.broadcast_to(ys[:, None], th.shape) \
+            + fbm(3.0 * th + 1.0, 7.0 * tv, roughness * 60.0)
+        verts = np.stack([vx, vy, vz], axis=-1)
+        add(verts, _grid_tris(s_seg, s_rng, 0))
+
+    verts = np.concatenate(verts_all, axis=0)
+    tris = np.asarray(tris_all, np.int64)
+    # clamp into Lucy's bbox (x/z) like the lathe does
+    verts[:, 0] = np.clip(verts[:, 0], -465.0, 465.0)
+    verts[:, 2] = np.clip(verts[:, 2], -267.0, 267.0)
+    return verts, tris
+
+
 def load_obj_or_standin(path: str):
     """Load an OBJ, falling back to the procedural stand-in for lfs stubs."""
     import os

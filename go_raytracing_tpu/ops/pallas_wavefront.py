@@ -299,8 +299,15 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             # inputs add the per-ray loss cotangent rows g (= dL/d(rad));
             # outputs are the radiance rows (validation) + one flat
             # per-block parameter-gradient vector; trailing refs are the
-            # per-bounce stash scratch (f32 + i32).
+            # per-bounce stash scratch (f32 + i32).  Env scenes (miss_cfg
+            # "stream") add a [6, BR, 128] ref: the XLA-precomputed miss
+            # radiance mc (3, phantom applied; the in-kernel `missed`
+            # state masks it) and the miss direction cotangent λ_mdir
+            # (3, from jax.vjp of the bilinear env fetch, pre-masked —
+            # injected at the lit bounce so specular-chain fuzz/IOR
+            # grads see the env term).
             (pt, st, sb, vt, lt,
+             *env_refs,
              ox, oy, oz, dx, dy, dz, tmr, stream_ref,
              gxr, gyr, gzr,
              rr, rg, rb, gout,
@@ -324,7 +331,14 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 
         def uniform3(bounce_u, purpose):
             a = stream ^ (zero_u + seed_mix)
-            b = zero_u + ((bounce_u * np.uint32(0x85EBCA6B)) ^ seed_ref[0])
+            if isinstance(bounce_u, (int, np.integer)):
+                # static bounce (reverse sweeps): wrap in python ints —
+                # numpy scalar uint32 multiply warns on overflow (the
+                # wrap itself is the intent)
+                bmix = np.uint32((int(bounce_u) * 0x85EBCA6B) & 0xFFFFFFFF)
+            else:
+                bmix = bounce_u * np.uint32(0x85EBCA6B)
+            b = zero_u + (bmix ^ seed_ref[0])
             c_const = np.uint32((int(purpose) * 0xC2B2AE35 + 0x27D4EB2F) & 0xFFFFFFFF)
             c = zero_u + c_const
             x, y, z = _pcg3d(a, b, c)
@@ -1035,6 +1049,9 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 miss_col = [(1.0 - aa) + aa * 0.5,
                             (1.0 - aa) + aa * 0.7,
                             (1.0 - aa) + aa * 1.0]
+            elif miss_cfg[0] == "stream":
+                (eref,) = env_refs
+                miss_col = [eref[c] + zero for c in range(3)]
             else:
                 miss_col = [zero + np.float32(miss_cfg[1 + c])
                             for c in range(3)]
@@ -1282,6 +1299,14 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                    * (((zero + 1.0) if c == 1 else zero)
                                       / dlm - din[1] * din[c] / (dl2 * dlm))
                                    for c in range(3)]
+                    elif miss_cfg[0] == "stream":
+                        # env: mc + λ_mdir precomputed XLA-side against
+                        # the miss direction (a lane lits exactly once,
+                        # so the per-RAY rows are valid at its lit
+                        # bounce; litf gates every other bounce).
+                        (eref,) = env_refs
+                        mc = [eref[c] + zero for c in range(3)]
+                        l_d_sky = [litf * eref[3 + c] for c in range(3)]
                     else:
                         mc = [zero + np.float32(miss_cfg[1 + c])
                               for c in range(3)]
@@ -1514,8 +1539,8 @@ def grad_applicable(scene, max_depth: int) -> bool:
 
     if not applicable(scene):
         return False
-    if scene.env is not None:
-        return False
+    if scene.env is not None and scene.n_lights > 0:
+        return False  # NEE env texel scatter not in the kernel (replay)
     if scene.has_noise:
         return False  # marble-modulated albedo adjoint not in the kernel
     if max_depth > 12:
@@ -1530,15 +1555,18 @@ def grad_applicable(scene, max_depth: int) -> bool:
 def grad_pathwise_applicable(scene, max_depth: int) -> bool:
     """Static gate for the PATHWISE gradient megakernel: admits metal and
     dielectric (fuzz / IOR gradients via in-kernel scatter-direction
-    adjoints + intersection backprop), still excludes environment maps
-    (env texel gradients need the XLA quad-table path), noise textures
-    (marble albedo depends continuously on p; its adjoint is not in the
-    kernel), and volumes (the scatter-distance adjoint through the
-    boundary window is not implemented — all-diffuse volume scenes take
-    the cheaper product-chain kernel instead, see grad_applicable)."""
+    adjoints + intersection backprop) and NEE-free environment maps
+    (miss-only env: texel scatter + λ_mdir computed XLA-side and
+    streamed, see grad_megakernel; env + quad lights stays on the
+    replay path — the per-bounce NEE texel scatter is not in the
+    kernel).  Still excludes noise textures (marble albedo depends
+    continuously on p; its adjoint is not in the kernel) and volumes
+    (the scatter-distance adjoint through the boundary window is not
+    implemented — all-diffuse volume scenes take the cheaper
+    product-chain kernel instead, see grad_applicable)."""
     if not applicable(scene):
         return False
-    if scene.env is not None:
+    if scene.env is not None and scene.n_lights > 0:
         return False
     if scene.has_noise:
         return False
@@ -1562,12 +1590,14 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
                n_planar,
                n_sphere, n_sph_seg, n_vol, n_lights, has_checker, max_depth,
                n_tex, miss_cfg, block_rows=BLOCK_ROWS, sph_seg=None,
-               pathwise=False, n_mat=0):
+               pathwise=False, n_mat=0, env_rows=None):
     """Gradient megakernel launch.  gx/gy/gz: [R] per-channel loss
     cotangent rows (dL/d(radiance); zero for padding lanes).  Returns
     (rad V3 [R], grads [n_tex, 3, 3]) where grads[t, v, c] is
     d L / d theta[t, v, c] with v in (color, even_color, odd_color);
-    in pathwise mode additionally (fuzz [n_mat], ior [n_mat])."""
+    in pathwise mode additionally (fuzz [n_mat], ior [n_mat]).
+    ``env_rows`` (miss_cfg ("stream",)): 6 [R] rows — miss radiance mc
+    (3, phantom applied) + miss-direction cotangent λ_mdir (3)."""
     from ..core.vec3 import V3
 
     oc = [o.x, o.y, o.z]
@@ -1595,6 +1625,14 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
     gout_spec = pl.BlockSpec((8, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
 
+    env_in, env_spec = [], []
+    if env_rows is not None:
+        assert miss_cfg == ("stream",)
+        env_in = [jnp.stack([prep(a) for a in env_rows], axis=0)]
+        env_spec = [pl.BlockSpec((len(env_rows), block_rows, LANES),
+                                 lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)]
+
     n_gacc = 9 * max(n_tex, 1) + (2 * n_mat if pathwise else 0)
     assert n_gacc <= 8 * LANES, "parameter slots exceed the [8,128] gout"
     outs = pl.pallas_call(
@@ -1603,7 +1641,7 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
                     miss_cfg=miss_cfg, sph_seg=sph_seg, pathwise=pathwise,
                     n_mat=n_mat),
         grid=grid,
-        in_specs=[smem] * 7 + [ray_spec] * 11,
+        in_specs=[smem] * 7 + env_spec + [ray_spec] * 11,
         out_specs=[out_spec] * 3 + [gout_spec],
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.float32)],
@@ -1617,7 +1655,7 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
     )(
         jnp.asarray([n_planar, n_sphere], jnp.int32),
         jnp.asarray([seed], jnp.uint32),
-        pt, st, sb, vt, lt, *rays, *grows,
+        pt, st, sb, vt, lt, *env_in, *rays, *grows,
     )
     flat = [x.reshape(-1)[:r] for x in outs[:3]]
     rad = V3(flat[0], flat[1], flat[2])
@@ -1639,32 +1677,81 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
         build_tables(scene, sph_seg=SPH_SEG)
     )
     sg = jax.lax.stop_gradient
+    n_tex = int(scene.textures.color.shape[0])
+    n_mat = int(scene.materials.kind.shape[0]) if pathwise else 0
+    statics = dict(
+        n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
+        n_vol=n_vol, n_lights=n_lights,
+        has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),
+        block_rows=SPH_BLOCK_ROWS if n_sph_seg else BLOCK_ROWS,
+        sph_seg=SPH_SEG,
+    )
+
+    env_rows = env_grad = None
     if scene.env is not None:
-        raise ValueError("grad megakernel excludes env scenes")
-    if cam.use_sky_gradient:
+        # Env scenes (grad gates require n_lights == 0 -> no NEE): the
+        # env enters ONLY through the miss shader.  Launch the plain
+        # forward kernel for the per-ray miss records, do the bilinear
+        # env fetch + its texel scatter AND direction cotangent XLA-side
+        # (exactly what the differentiable path computes,
+        # integrator/wavefront._miss_radiance), then stream the miss
+        # radiance + λ_mdir rows into the gradient kernel so the
+        # specular-chain fuzz/IOR adjoints see the env term.
+        # Reference: rt/hdri.go:120-128 (miss shader), rt/camera.go:452-466.
+        assert n_lights == 0, "env grad kernel requires no NEE lights"
+        from ..core.vec3 import V3
+        from ..lights import hdri as hdri_mod
+
+        _, m_dir, m_tp, missed, m_prim = _call(
+            pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream,
+            has_noise=bool(scene.has_noise), **statics)
+        safe = [jnp.where(missed, v, w) for v, w in
+                ((m_dir.x, 0.0), (m_dir.y, 0.0), (m_dir.z, 1.0))]
+
+        def mc_of(env_data, d3):
+            env2 = scene.env._replace(data=env_data)
+            col = hdri_mod.sample_soa(env2, V3(*d3))
+            if cam.phantom_hdri:
+                col = V3.select(m_prim, V3.zeros(col.x.shape), col)
+            return col
+
+        def miss_loss(env_data, d3):
+            col = mc_of(env_data, d3)
+            tot = 0.0
+            for c, (tpv, colv) in enumerate(
+                    zip((m_tp.x, m_tp.y, m_tp.z), (col.x, col.y, col.z))):
+                tot = tot + jnp.sum(
+                    jnp.where(missed, g3[c] * tpv * colv, 0.0))
+            return tot
+
+        env_grad, lmd = jax.grad(miss_loss, argnums=(0, 1))(
+            scene.env.data, tuple(safe))
+        mc = mc_of(sg(scene.env.data), tuple(sg(x) for x in safe))
+        env_rows = (sg(mc.x), sg(mc.y), sg(mc.z),
+                    sg(lmd[0]), sg(lmd[1]), sg(lmd[2]))
+        miss_cfg = ("stream",)
+    elif cam.use_sky_gradient:
         miss_cfg = ("sky", 0.0, 0.0, 0.0)
     else:
         bg = tuple(float(x) for x in np.asarray(cam.background).reshape(3))
         miss_cfg = ("flat",) + bg
-    n_tex = int(scene.textures.color.shape[0])
-    n_mat = int(scene.materials.kind.shape[0]) if pathwise else 0
     out = _call_grad(
         pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream,
         g3[0], g3[1], g3[2],
-        n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
-        n_vol=n_vol, n_lights=n_lights,
-        has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),
         n_tex=n_tex, miss_cfg=miss_cfg,
-        block_rows=SPH_BLOCK_ROWS if n_sph_seg else BLOCK_ROWS,
-        sph_seg=SPH_SEG, pathwise=pathwise, n_mat=n_mat,
+        pathwise=pathwise, n_mat=n_mat, env_rows=env_rows, **statics,
     )
     if not pathwise:
         rad, grads = out
-        return rad, dict(color=grads[:, 0], even_color=grads[:, 1],
-                         odd_color=grads[:, 2])
-    rad, grads, gfuzz, gior = out
-    return rad, dict(color=grads[:, 0], even_color=grads[:, 1],
+        gdict = dict(color=grads[:, 0], even_color=grads[:, 1],
+                     odd_color=grads[:, 2])
+    else:
+        rad, grads, gfuzz, gior = out
+        gdict = dict(color=grads[:, 0], even_color=grads[:, 1],
                      odd_color=grads[:, 2], fuzz=gfuzz, ior=gior)
+    if env_grad is not None:
+        gdict["env_data"] = env_grad
+    return rad, gdict
 
 
 @functools.partial(

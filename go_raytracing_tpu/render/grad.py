@@ -203,11 +203,13 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     )
 
     # GRADIENT MEGAKERNEL path: for direction-parameter-independent
-    # scenes (lambertian/light/isotropic; no env) the whole fwd+bwd of a
-    # chunk runs in ONE pallas kernel — the path adjoint is an exact
-    # in-kernel product-chain reverse sweep, and fuzz/ior/atlas grads
-    # are structurally zero (ops/pallas_wavefront.grad_applicable).
-    # ~10x the XLA replay backward; equivalence tested vs it.
+    # scenes (lambertian/light/isotropic) the whole fwd+bwd of a chunk
+    # runs in ONE pallas kernel — the path adjoint is an exact in-kernel
+    # product-chain reverse sweep, and fuzz/ior/atlas grads are
+    # structurally zero (ops/pallas_wavefront.grad_applicable).  NEE-free
+    # env scenes ride either kernel (miss-only env: texel scatter +
+    # λ_mdir streamed, see grad_megakernel).  ~10x the XLA replay
+    # backward; equivalence tested vs it.
     from ..ops import pallas_wavefront as mega
 
     kern_ok = os.environ.get("GRT_NO_GRADKERNEL") != "1"

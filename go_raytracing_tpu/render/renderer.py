@@ -202,7 +202,8 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
            max_depth: Optional[int] = None, seed: int = 0,
            chunk: Optional[int] = None, sample_offset: int = 0,
            accum: Optional[jnp.ndarray] = None, stats: Optional[RenderStats] = None,
-           differentiable: bool = False, sync: bool = True):
+           differentiable: bool = False, sync: bool = True,
+           mega_mode: Optional[str] = None):
     """Render ``spp`` samples/pixel; returns the accumulation buffer
     [H, W, 3] of *summed* radiance (divide by spp via film.tonemap).
 
@@ -248,10 +249,12 @@ def render(scene: Scene, cam: Camera, *, spp: Optional[int] = None,
 
     # Megakernel dispatch decided OUTSIDE the jit so it participates in
     # the compilation-cache key (env flags / INTERPRET flips retrace).
-    cam_d = dataclasses.replace(cam, max_depth=max_depth)
-    mega_mode = wavefront.choose_mega_mode(
-        scene, cam_d, chunk, differentiable
-    )
+    # ``mega_mode`` overrides the choice (A/B experiments, forced modes).
+    if mega_mode is None:
+        cam_d = dataclasses.replace(cam, max_depth=max_depth)
+        mega_mode = wavefront.choose_mega_mode(
+            scene, cam_d, chunk, differentiable
+        )
 
     t0 = time.perf_counter()
     pos = start

@@ -316,14 +316,17 @@ LUCY_POSITIONS = [
 
 
 def cornell_box_lucy(n_instances: int = 10, mesh_detail=(48, 40),
-                     roughness: float = 0.0):
+                     roughness: float = 0.0, mesh_kind: str = "lathe"):
     """10 transformed instances of a shared mesh (rt/scenes.go:713-817).
 
     The reference's lucy_low.obj is a git-lfs stub in this checkout, so a
     procedural stand-in statue is synthesized (io/obj.py).  ``mesh_detail``
     = (segments, rings) controls its triangle count; ``roughness`` > 0
     displacement-noises the lathe into an irregular scanned-statue-like
-    surface (bench config cornell-lucy-rough).
+    surface (bench config cornell-lucy-rough).  ``mesh_kind="statue"``
+    swaps in the statue-GRADE synthetic (multi-lobed twisted-tori wings +
+    thin robe shell, io/obj.statue_standin; mesh_detail[0] is its detail
+    knob — bench config cornell-lucy-statue).
     """
     b = SceneBuilder()
     white = b.lambertian((0.73, 0.73, 0.73))
@@ -339,6 +342,9 @@ def cornell_box_lucy(n_instances: int = 10, mesh_detail=(48, 40),
     path = "assets/models/lucy_low.obj"
     if os.path.isfile(path) and not obj_mod.is_lfs_stub(path):
         verts, tris = obj_mod.load_obj(path)
+    elif mesh_kind == "statue":
+        verts, tris = obj_mod.statue_standin(
+            mesh_detail[0], roughness=roughness if roughness else 0.3)
     else:
         verts, tris = obj_mod.lucy_standin(*mesh_detail,
                                            roughness=roughness)

@@ -88,8 +88,9 @@ def test_grad_kernel_matches_autodiff():
 
 
 def test_grad_kernel_gate():
-    """Metal/dielectric (direction depends on fuzz/ior) and env maps
-    must fall back to the XLA path."""
+    """Metal/dielectric (direction depends on fuzz/ior) must leave the
+    product-chain gate (the PATHWISE kernel takes them), and env + NEE
+    light must fall back to the XLA replay path."""
     scene, cam = _mini_cornell()
     mega.INTERPRET = True
     try:
@@ -103,11 +104,24 @@ def test_grad_kernel_gate():
         s2 = b.build()
         assert not mega.grad_applicable(s2, 4)
 
+        # NEE-free env scenes are ADMITTED since round 4 (miss-only env:
+        # texel scatter + λ_mdir stream, see grad_megakernel) ...
         b = grt.SceneBuilder()
         b.sphere((0, 0, -3), 1.0, b.lambertian((0.5, 0.5, 0.5)))
         b.set_environment(np.full((4, 8, 3), 0.5, np.float32))
         s3 = b.build()
-        assert not mega.grad_applicable(s3, 4)
+        assert mega.grad_applicable(s3, 4)
+
+        # ... but env + NEE quad light still replays (per-bounce NEE
+        # texel scatter is not in the kernel).
+        b = grt.SceneBuilder()
+        b.sphere((0, 0, -3), 1.0, b.lambertian((0.5, 0.5, 0.5)))
+        q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2),
+                   b.diffuse_light((5, 5, 5)))
+        b.add_light(q)
+        b.set_environment(np.full((4, 8, 3), 0.5, np.float32))
+        s4 = b.build()
+        assert not mega.grad_applicable(s4, 4)
     finally:
         mega.INTERPRET = False
 

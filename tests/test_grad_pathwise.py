@@ -50,8 +50,8 @@ def _mini_glossy(background=(0.02, 0.01, 0.03)):
     b.sphere((2.2, 1.2, 0.0), 1.2, mirror)
     b.sphere((0.0, 1.0, -2.0), 1.0, white)
     scene = b.build()
-    cam = Camera(image_width=24, aspect_ratio=1.0, samples_per_pixel=4,
-                 max_depth=5, look_from=(0, 3, 9), look_at=(0, 1.5, 0),
+    cam = Camera(image_width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=4, look_from=(0, 3, 9), look_at=(0, 1.5, 0),
                  vfov=45.0, background=background)
     return scene, cam
 
@@ -93,7 +93,8 @@ def test_pathwise_kernel_matches_autodiff(background):
     scene, cam = _mini_glossy()
     if background == "sky":
         cam = dataclasses.replace(cam, use_sky_gradient=True)
-    mega.INTERPRET = True
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
     try:
         assert mega.grad_pathwise_applicable(scene, cam.max_depth)
         assert not mega.grad_applicable(scene, cam.max_depth)
@@ -110,7 +111,71 @@ def test_pathwise_kernel_matches_autodiff(background):
                 np.asarray(gk[k]), np.asarray(gx[k]), rtol=5e-3,
                 atol=3e-6, err_msg=k)
     finally:
-        mega.INTERPRET = False
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
+
+
+def _mini_hdri(phantom: bool):
+    """hdri-test miniature: specular spheres + checker plane under an
+    HDRI with NO quad lights (the reference flagship's shape,
+    rt/scenes.go hdri_test) — env gradient flows only through the miss
+    shader (rt/hdri.go:120-128)."""
+    rng = np.random.default_rng(7)
+    env = rng.uniform(0.05, 1.0, size=(8, 16, 3)).astype(np.float32)
+    env[2, 4] = (9.0, 8.0, 7.0)
+    b = grt.SceneBuilder()
+    checker = b.lambertian(b.checker(0.5, (0.1, 0.1, 0.1), (0.9, 0.9, 0.9)))
+    b.plane((0, 0, 0), (0, 1, 0), checker)
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-2.5, 1, 0), 1.0, b.metal((1.0, 1.0, 1.0), 0.0))
+    b.sphere((2.5, 1, 0), 1.0, b.metal((1.0, 0.84, 0.0), 0.1))
+    b.set_environment(env)
+    scene = b.build()
+    cam = Camera(image_width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=5, look_from=(0, 2.5, 8), look_at=(0, 1, 0),
+                 vfov=40.0, phantom_hdri=phantom)
+    return scene, cam
+
+
+@pytest.mark.parametrize("phantom", [False, True])
+def test_env_grad_kernel_matches_autodiff(phantom):
+    """NEE-free env scenes (hdri-test class): the pathwise kernel with
+    streamed miss rows must match jax.grad of the XLA path on every
+    gradient family INCLUDING the env texels (miss-shader bilinear
+    scatter), with the phantom-primary-ray quirk (rt/camera.go:456)."""
+    scene, cam = _mini_hdri(phantom)
+    assert scene.n_lights == 0
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        assert mega.grad_pathwise_applicable(scene, cam.max_depth)
+        r = cam.image_width * cam.image_width * 4
+        o, d, tm, ids, g = _rays_and_g(cam, r)
+        rad_k, gk = mega.grad_megakernel(
+            scene, cam, o, d, tm, ids, 0, (g[:, 0], g[:, 1], g[:, 2]),
+            pathwise=True)
+        rad_ref = wavefront.trace(scene, cam, o, d, tm, ids, 0,
+                                  differentiable=False)
+        np.testing.assert_allclose(
+            np.asarray(rad_k.rows()), np.asarray(rad_ref.rows()),
+            rtol=1e-4, atol=1e-5)
+
+        def inner(params):
+            s = apply_params(scene, params)
+            rad = wavefront.trace(s, cam, o, d, tm, ids, 0,
+                                  differentiable=True)
+            return jnp.sum(rad.rows() * g)
+
+        gx = jax.grad(inner)(trainable_params(scene))
+        for k in ("color", "even_color", "odd_color", "fuzz", "ior",
+                  "env_data"):
+            b_ = np.asarray(gx[k])
+            assert np.abs(b_).max() > 1e-6, \
+                f"autodiff produced no {k} signal; test scene too weak"
+            np.testing.assert_allclose(
+                np.asarray(gk[k]), b_, rtol=5e-3,
+                atol=1e-4 * np.abs(b_).max(), err_msg=k)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
 
 
 def test_pathwise_fuzz_ior_perturbation_matches_xla():
@@ -125,7 +190,8 @@ def test_pathwise_fuzz_ior_perturbation_matches_xla():
     5e-4 relative at every h).  The gradient itself is pinned against
     jax.grad in test_pathwise_kernel_matches_autodiff."""
     scene, cam = _mini_glossy()
-    mega.INTERPRET = True
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
     try:
         r = cam.image_width * cam.image_width * 4
         o, d, tm, ids, g = _rays_and_g(cam, r)
@@ -158,7 +224,7 @@ def test_pathwise_fuzz_ior_perturbation_matches_xla():
             np.testing.assert_allclose(fd_k, fd_x, rtol=5e-3,
                                        err_msg=f"{key}[{mi}]")
     finally:
-        mega.INTERPRET = False
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
 
 
 def test_render_grad_routes_pathwise_and_matches():
@@ -172,7 +238,8 @@ def test_render_grad_routes_pathwise_and_matches():
     cam = dataclasses.replace(cam, image_width=16, samples_per_pixel=2,
                               max_depth=4)
     target = np.zeros((16, 16, 3), np.float32)
-    mega.INTERPRET = True
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
     try:
         loss_k, gk = render_grad(scene, cam, target, spp=2, seed=0)
         os.environ["GRT_NO_GRADKERNEL"] = "1"
@@ -186,4 +253,4 @@ def test_render_grad_routes_pathwise_and_matches():
                 np.asarray(gk[k]), np.asarray(gx[k]), rtol=6e-3,
                 atol=1e-8, err_msg=k)
     finally:
-        mega.INTERPRET = False
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br

@@ -664,3 +664,37 @@ def test_megakernel_noise_texture_matches():
     img_ref = np.asarray(grt.render_image(scene, cam, spp=4, seed=2))
     assert img_mega.std() > 0.02  # marble actually varies
     np.testing.assert_allclose(img_mega, img_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_megakernel_image_prefactor_matches():
+    """'image' mode (deferred image albedo): the earth scene — the one
+    image-texture config the kernel gate admits (single image-lambertian
+    sphere, no lights, rt/scenes.go:242-273) — must match the gather
+    integrator exactly: the factorization radiance == albedo(primary
+    u,v) * radiance(albedo := 1) is algebraic, not approximate."""
+    import dataclasses
+    from go_raytracing_tpu.camera import generate_rays
+    from go_raytracing_tpu.integrator import wavefront
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    scene, cam = grt.load_scene("earth")
+    cam = dataclasses.replace(cam, image_width=24, aspect_ratio=1.0,
+                              samples_per_pixel=2, max_depth=6)
+    r = 24 * 24 * 2
+    ids = jnp.arange(r, dtype=jnp.uint32)
+    px = ((ids % (24 * 24)) % 24).astype(jnp.int32)
+    py = ((ids % (24 * 24)) // 24).astype(jnp.int32)
+    o, d, tm = generate_rays(cam, px, py, ids, 0)
+
+    mega.INTERPRET = True
+    try:
+        assert wavefront.choose_mega_mode(scene, cam, r, False) == "image"
+        rad_img = wavefront.trace(scene, cam, o, d, tm, ids, 0,
+                                  differentiable=False, mega_mode="image")
+    finally:
+        mega.INTERPRET = False
+    rad_std = wavefront.trace(scene, cam, o, d, tm, ids, 0,
+                              differentiable=False, mega_mode="off")
+    np.testing.assert_allclose(np.asarray(rad_img.rows()),
+                               np.asarray(rad_std.rows()),
+                               rtol=1e-4, atol=1e-5)

@@ -98,7 +98,7 @@ def test_render_grad_routes_all_tiers():
     cases = {
         "cornell": (True, False),         # product-chain gate
         "cornell-glossy": (False, True),  # pathwise gate
-        "combined": (False, False),       # env -> replay
+        "combined": (False, False),       # env + NEE light -> replay
     }
     old_br = mega.BLOCK_ROWS
     mega.INTERPRET, mega.BLOCK_ROWS = True, 8
@@ -109,6 +109,9 @@ def test_render_grad_routes_all_tiers():
                 b.quad((-6, 0, -6), (12, 0, 0), (0, 0, 12),
                        b.lambertian((0.5, 0.5, 0.5)))
                 b.sphere((0, 1, 0), 1.0, b.metal((0.8, 0.6, 0.2), 0.3))
+                q = b.quad((-1, 5, -1), (2, 0, 0), (0, 0, 2),
+                           b.diffuse_light((6, 6, 6)))
+                b.add_light(q)
                 env = np.full((8, 16, 3), 0.6, np.float32)
                 b.set_environment(env)
                 scene = b.build()
