@@ -80,18 +80,23 @@ class PlanarPack(NamedTuple):
 
 VOL_BOX = 0
 VOL_SPHERE = 1
+VOL_PLANES = 2
 
 
 class VolumePack(NamedTuple):
-    """Constant-density media bounded by transformed boxes or spheres.
+    """Constant-density media bounded by transformed boxes, spheres, or
+    arbitrary convex polyhedra.
 
     The reference wraps an arbitrary ``Hittable`` boundary
-    (rt/volume.go:34); every reference scene uses boxes, but the API also
-    admits spheres.  Rays are mapped to local space by a 3x4 affine
-    ``world_to_local``; the boundary there is either the [box_min,
-    box_max] slab box (kind VOL_BOX) or the UNIT sphere (kind VOL_SPHERE
-    — the affine bakes center/radius, an ellipsoid under non-uniform
-    scale, exceeding the reference's plain Sphere boundary).
+    (rt/volume.go:34); every reference scene uses boxes, but the API
+    admits any shape.  Rays are mapped to local space by a 3x4 affine
+    ``world_to_local``; the boundary there is the [box_min, box_max]
+    slab box (VOL_BOX), the UNIT sphere (VOL_SPHERE — the affine bakes
+    center/radius; an ellipsoid under non-uniform scale), or an
+    intersection of half-spaces n.x <= d (VOL_PLANES — any convex
+    polyhedron: pyramids, prisms, hulls; this is the vectorized form of
+    the reference's double-Hit entry/exit walk, which is itself only
+    well-defined for convex boundaries).
     """
 
     world_to_local: jnp.ndarray  # [N, 3, 4]
@@ -99,7 +104,11 @@ class VolumePack(NamedTuple):
     box_max: jnp.ndarray         # [N, 3]
     neg_inv_density: jnp.ndarray  # [N] = -1/rho (rt/volume.go:17)
     mat: jnp.ndarray             # [N] i32 (isotropic phase material)
-    kind: jnp.ndarray            # [N] i32 VOL_BOX | VOL_SPHERE
+    kind: jnp.ndarray            # [N] i32 VOL_BOX | VOL_SPHERE | VOL_PLANES
+    # [N, K, 4] local-space half-spaces (nx, ny, nz, d): inside iff
+    # n.x <= d for all k.  None when the scene has no VOL_PLANES media;
+    # non-planes rows pad with (0,0,0,1) — a no-op constraint.
+    planes: jnp.ndarray = None
 
 
 def empty_spheres():
@@ -423,6 +432,26 @@ def sample_volumes(pack: VolumePack, o, d, t_min, t_surface, u_flight):
     is_sph = pack.kind[None, :] == VOL_SPHERE
     t0 = jnp.where(is_sph, jnp.where(sph_ok, s0, BIG), t0)
     t1 = jnp.where(is_sph, jnp.where(sph_ok, s1, -BIG), t1)
+
+    # Convex-polyhedron boundary (VOL_PLANES): the ray interval inside
+    # the half-space intersection n.x <= d is [max entering, min exiting].
+    if pack.planes is not None:
+        pn = pack.planes                                   # [N, K, 4]
+        den = jnp.einsum("rni,nki->rnk", d_l, pn[:, :, :3])
+        num = pn[None, :, :, 3] - jnp.einsum(
+            "rni,nki->rnk", o_l, pn[:, :, :3])
+        safe_den = jnp.where(jnp.abs(den) < 1e-12,
+                             jnp.where(den < 0, -1e-12, 1e-12), den)
+        tq = num / safe_den
+        lower = jnp.where(den < -1e-12, tq, -np.inf)
+        upper = jnp.where(den > 1e-12, tq, np.inf)
+        # parallel AND outside that half-space -> never inside
+        empty = jnp.any((jnp.abs(den) <= 1e-12) & (num < 0.0), axis=-1)
+        p0 = jnp.where(empty, BIG, jnp.max(lower, axis=-1))
+        p1 = jnp.where(empty, -BIG, jnp.min(upper, axis=-1))
+        is_pl = pack.kind[None, :] == VOL_PLANES
+        t0 = jnp.where(is_pl, p0, t0)
+        t1 = jnp.where(is_pl, p1, t1)
     crosses = t1 > t0
 
     t0c = jnp.maximum(t0, t_min)           # rec1.T clamp (rt/volume.go:50-52)

@@ -355,7 +355,7 @@ class SceneBuilder:
         inv = np.eye(4) if transform is None else transform.inverse().m
         mat = self.isotropic(color_or_tex)
         self._vol.append((inv[:3, :4], mn, mx, -1.0 / float(density), mat,
-                          packs.VOL_BOX))
+                          packs.VOL_BOX, None))
         return len(self._vol) - 1
 
     def volume_sphere(self, center, radius, density, color_or_tex) -> int:
@@ -370,8 +370,54 @@ class SceneBuilder:
         inv[:, 3] = -c / r
         mat = self.isotropic(color_or_tex)
         self._vol.append((inv, np.zeros(3), np.zeros(3),
-                          -1.0 / float(density), mat, packs.VOL_SPHERE))
+                          -1.0 / float(density), mat, packs.VOL_SPHERE,
+                          None))
         return len(self._vol) - 1
+
+    def volume_convex(self, planes, density, color_or_tex,
+                      transform: Optional[Affine] = None) -> int:
+        """Constant-density medium in an ARBITRARY convex polyhedron —
+        the general case of the reference's any-Hittable boundary
+        (rt/volume.go:34; its entry/exit double-Hit walk is only
+        well-defined for convex shapes).  ``planes``: iterable of
+        (normal, d) or 4-vectors; inside = n.x <= d for all, in the
+        local frame of ``transform`` (like volume_box's a/b)."""
+        rows = []
+        for p in planes:
+            if len(p) == 2:
+                nrm, dd = p
+                rows.append([*np.asarray(nrm, np.float64), float(dd)])
+            else:
+                rows.append([float(x) for x in p])
+        pl = np.asarray(rows, np.float64).reshape(-1, 4)
+        inv = np.eye(4) if transform is None else transform.inverse().m
+        mat = self.isotropic(color_or_tex)
+        self._vol.append((inv[:3, :4], np.zeros(3), np.zeros(3),
+                          -1.0 / float(density), mat, packs.VOL_PLANES, pl))
+        return len(self._vol) - 1
+
+    def volume_pyramid(self, base_center, base_size, height, density,
+                       color_or_tex,
+                       transform: Optional[Affine] = None) -> int:
+        """Constant-density medium in the builder's pyramid shape
+        (base quad + 4 slanted faces, rt/primitives.go:39-71) — an
+        arbitrary-Hittable boundary the box/sphere media cannot
+        express."""
+        c = np.asarray(base_center, np.float64)
+        hs = base_size / 2.0
+        apex = c + [0.0, height, 0.0]
+        corners = [c + [hs, 0, -hs], c + [hs, 0, hs],
+                   c + [-hs, 0, hs], c + [-hs, 0, -hs]]
+        planes = [((0.0, -1.0, 0.0), -c[1])]  # base: y >= c.y
+        for i in range(4):
+            a, b = corners[i], corners[(i + 1) % 4]
+            nrm = np.cross(b - a, apex - a)
+            nrm = nrm / np.linalg.norm(nrm)
+            # orient outward (away from the base center + up a bit)
+            if np.dot(nrm, (a + b + apex) / 3.0 - (c + [0, height / 3, 0])) < 0:
+                nrm = -nrm
+            planes.append((tuple(nrm), float(np.dot(nrm, a))))
+        return self.volume_convex(planes, density, color_or_tex, transform)
 
     # --- lights / environment --------------------------------------------
     def add_light(self, planar_index: int):
@@ -423,7 +469,17 @@ class SceneBuilder:
             planar = packs.empty_planar()
 
         if self._vol:
-            w2l, bmin, bmax, nid, m, vkind = zip(*self._vol)
+            w2l, bmin, bmax, nid, m, vkind, vplanes = zip(*self._vol)
+            planes_arr = None
+            if any(p is not None for p in vplanes):
+                kmax = max(len(p) for p in vplanes if p is not None)
+                noop = np.array([0.0, 0.0, 0.0, 1.0])  # n.x=0 <= 1 always
+                rows = []
+                for p in vplanes:
+                    p = np.zeros((0, 4)) if p is None else np.asarray(p)
+                    pad = np.broadcast_to(noop, (kmax - len(p), 4))
+                    rows.append(np.concatenate([p, pad], axis=0))
+                planes_arr = jnp.asarray(np.stack(rows).astype(f32))
             volumes = packs.VolumePack(
                 jnp.asarray(np.stack(w2l).astype(f32)),
                 jnp.asarray(np.stack(bmin).astype(f32)),
@@ -431,6 +487,7 @@ class SceneBuilder:
                 jnp.asarray(np.asarray(nid, f32)),
                 jnp.asarray(np.asarray(m, i32)),
                 jnp.asarray(np.asarray(vkind, i32)),
+                planes_arr,
             )
         else:
             volumes = packs.empty_volumes()

@@ -139,6 +139,30 @@ def _sample_volumes(pack: packs.VolumePack, o: V3, d: V3, t_min, t_surface, u_fl
     is_sph = pack.kind[None, :] == packs.VOL_SPHERE
     t0 = jnp.where(is_sph, jnp.where(sph_ok, (-hb - sq) * inv_a, BIG), t0)
     t1 = jnp.where(is_sph, jnp.where(sph_ok, (-hb + sq) * inv_a, -BIG), t1)
+
+    # Convex-polyhedron boundaries (packs.VOL_PLANES): [entry, exit] =
+    # [max lower, min upper] over the local half-spaces n.x <= d.
+    if pack.planes is not None:
+        kmax = pack.planes.shape[1]
+        p0 = jnp.full((r_, n), -np.inf, jnp.float32)
+        p1 = jnp.full((r_, n), np.inf, jnp.float32)
+        empty = jnp.zeros((r_, n), bool)
+        for k in range(kmax):
+            nx = pack.planes[None, :, k, 0]
+            ny = pack.planes[None, :, k, 1]
+            nz = pack.planes[None, :, k, 2]
+            dd = pack.planes[None, :, k, 3]
+            den = nx * d_l[0] + ny * d_l[1] + nz * d_l[2]
+            num = dd - (nx * o_l[0] + ny * o_l[1] + nz * o_l[2])
+            safe = jnp.where(jnp.abs(den) < 1e-12,
+                             jnp.where(den < 0, -1e-12, 1e-12), den)
+            tq = num / safe
+            p0 = jnp.maximum(p0, jnp.where(den < -1e-12, tq, -np.inf))
+            p1 = jnp.minimum(p1, jnp.where(den > 1e-12, tq, np.inf))
+            empty = empty | ((jnp.abs(den) <= 1e-12) & (num < 0.0))
+        is_pl = pack.kind[None, :] == packs.VOL_PLANES
+        t0 = jnp.where(is_pl, jnp.where(empty, BIG, p0), t0)
+        t1 = jnp.where(is_pl, jnp.where(empty, -BIG, p1), t1)
     crosses = t1 > t0
 
     t0c = jnp.maximum(t0, t_min)           # rec1.T clamp (rt/volume.go:50-52)

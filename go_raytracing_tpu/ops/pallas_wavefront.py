@@ -99,11 +99,11 @@ def applicable(scene, max_prims: int = 1024) -> bool:
         and scene.spheres.radius.shape[0] <= max_prims
         and scene.n_volumes <= 4
         and scene.n_lights <= 8
-        # in-kernel volume_window is box-only; sphere-boundary media
-        # stay on the standard integrator
+        # in-kernel volume_window is box-only; sphere- and convex-
+        # polyhedron-boundary media stay on the standard integrator
         and (scene.n_volumes == 0
-             or not bool((np.asarray(scene.volumes.kind)
-                          == packs.VOL_SPHERE).any()))
+             or bool((np.asarray(scene.volumes.kind)
+                      == packs.VOL_BOX).all()))
     )
 
 

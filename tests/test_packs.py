@@ -285,3 +285,63 @@ def test_sphere_volume_soa_matches_rows_oracle():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_r)[both],
                                   np.asarray(i_s)[both])
+
+
+def test_volume_convex_box_matches_volume_box():
+    """A box expressed as 6 half-spaces (VOL_PLANES) must produce the
+    IDENTICAL free-flight interval as the native slab box: same uniforms
+    -> same scatter t on every ray (the convex-polyhedron boundary is
+    the general case of rt/volume.go:34's any-Hittable wrap)."""
+    a, c = (-1.0, -1.0, -3.0), (1.0, 1.0, -1.0)
+    b1 = SceneBuilder()
+    b1.volume_box(a, c, 0.7, (1, 1, 1))
+    s1 = b1.build()
+
+    b2 = SceneBuilder()
+    planes = [((1, 0, 0), c[0]), ((-1, 0, 0), -a[0]),
+              ((0, 1, 0), c[1]), ((0, -1, 0), -a[1]),
+              ((0, 0, 1), c[2]), ((0, 0, -1), -a[2])]
+    b2.volume_convex(planes, 0.7, (1, 1, 1))
+    s2 = b2.build()
+
+    rng = np.random.default_rng(5)
+    r = 256
+    o = jnp.asarray(rng.uniform(-2, 2, (r, 3)).astype(np.float32))
+    o = o.at[:, 2].set(2.0)
+    d = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    u = jnp.asarray(rng.uniform(1e-3, 1, (r, 1)).astype(np.float32))
+    tmax = jnp.full((r,), 1e9, jnp.float32)
+
+    t1, _, h1 = packs.sample_volumes(s1.volumes, o, d, 1e-3, tmax, u)
+    t2, _, h2 = packs.sample_volumes(s2.volumes, o, d, 1e-3, tmax, u)
+    assert bool(jnp.any(h1)), "no ray interacted; test geometry broken"
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(np.asarray(t1)[np.asarray(h1)],
+                               np.asarray(t2)[np.asarray(h1)],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_volume_pyramid_medium():
+    """Pyramid-bounded medium: rays through the apex region traverse a
+    shorter interval than through the base (so with near-infinite
+    density both scatter, with matching entry semantics), and rays
+    missing the pyramid never scatter."""
+    b = SceneBuilder()
+    b.volume_pyramid((0, 0, -2), 2.0, 2.0, 1e6, (1, 1, 1))
+    scene = b.build()
+
+    o = jnp.asarray([[0.0, 0.5, 2.0],     # through mid pyramid
+                     [0.0, 1.9, 2.0],     # just under apex
+                     [0.0, 2.5, 2.0],     # above apex: miss
+                     [1.5, 0.5, 2.0]],    # off to the side: miss
+                    jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 4, jnp.float32)
+    u = jnp.full((4, 1), 0.5, jnp.float32)
+    t, _, hit = packs.sample_volumes(scene.volumes, o, d, 1e-3,
+                                     jnp.full((4,), 1e9, jnp.float32), u)
+    hit = np.asarray(hit)
+    assert hit.tolist() == [True, True, False, False]
+    # entry points: |x|,|z-(-2)| within the slab at that height
+    tt = np.asarray(t)
+    assert 2.0 < tt[0] < 4.0
