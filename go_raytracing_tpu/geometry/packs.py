@@ -426,7 +426,9 @@ def sample_volumes(pack: VolumePack, o, d, t_min, t_surface, u_flight):
     # sqrt'(0) = inf: masked lanes need a safe operand (0 * inf = NaN in
     # the backward pass) — same double-where as intersect_spheres above.
     sq = jnp.sqrt(jnp.where(sph_ok, disc, 1.0))
-    inv_a = 1.0 / jnp.maximum(a_q, 1e-20)
+    # Floor 1e-12 (in sync with wavefront._sample_volumes): reciprocal's
+    # backward squares this, and (1e-20)^2 underflows f32 to inf.
+    inv_a = 1.0 / jnp.maximum(a_q, 1e-12)
     s0 = (-hb - sq) * inv_a
     s1 = (-hb + sq) * inv_a
     is_sph = pack.kind[None, :] == VOL_SPHERE

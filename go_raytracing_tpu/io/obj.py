@@ -106,17 +106,21 @@ def lucy_standin(segments: int = 48, rings: int = 40,
     return verts, np.asarray(tris, np.int64)
 
 
-def _grid_tris(nu: int, nv: int, base: int, wrap_u: bool = True):
+def _grid_tris(nu: int, nv: int, base: int, wrap_u: bool = True,
+               wrap_v: bool = False):
     """Quad-grid triangle indices for a (nv, nu) vertex lattice laid out
-    row-major starting at ``base``; u wraps (closed in angle)."""
+    row-major starting at ``base``; u wraps (closed in angle); v wraps
+    too for torus topologies."""
     tris = []
     us = nu if wrap_u else nu - 1
-    for r in range(nv - 1):
+    vs = nv if wrap_v else nv - 1
+    for r in range(vs):
+        r1 = (r + 1) % nv
         for s in range(us):
             a = base + r * nu + s
             b = base + r * nu + (s + 1) % nu
-            c = base + (r + 1) * nu + s
-            d = base + (r + 1) * nu + (s + 1) % nu
+            c = base + r1 * nu + s
+            d = base + r1 * nu + (s + 1) % nu
             tris.append((a, b, c))
             tris.append((b, d, c))
     return tris
@@ -179,17 +183,8 @@ def statue_standin(detail: int = 256, roughness: float = 0.3):
         pz = (R + r * np.cos(tw)) * np.sin(u) * np.sin(tilt) * 0.55 \
             + r * np.sin(tw) * 0.5
         verts = np.stack(np.broadcast_arrays(px + cx, py, pz), axis=-1)
-        # close the v-seam too: treat as (w_seg x w_tube) doubly-wrapped
-        tris = []
-        for a_ in range(w_seg):
-            for b_ in range(w_tube):
-                i00 = a_ * w_tube + b_
-                i01 = a_ * w_tube + (b_ + 1) % w_tube
-                i10 = ((a_ + 1) % w_seg) * w_tube + b_
-                i11 = ((a_ + 1) % w_seg) * w_tube + (b_ + 1) % w_tube
-                tris.append((i00, i01, i10))
-                tris.append((i01, i11, i10))
-        add(verts, tris)
+        # torus topology: both grid axes wrap
+        add(verts, _grid_tris(w_tube, w_seg, 0, wrap_v=True))
 
     # --- robe: thin two-sheet shell around the lower body --------------
     s_seg = int(detail * 0.55)

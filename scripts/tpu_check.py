@@ -32,6 +32,8 @@ CASES = [
     ("glossy-metal", 24, 4, 5),
     ("perlin", 24, 2, 4),
     ("cornell-lucy", 24, 2, 4),  # mesh kernel path on the real chip
+    ("earth", 24, 2, 5),         # image-texture 'image' mega mode
+    ("hdri-test", 24, 2, 5),     # env miss shader + specular chain
 ]
 
 
@@ -97,6 +99,38 @@ def fd_gradcheck():
     return dict(max_relerr=round(relerr, 5), ok=bool(relerr < 0.05))
 
 
+def grad_kernel_check():
+    """On-chip gradient-tier cross-check (round 4): the PATHWISE
+    gradient megakernel vs the XLA replay backward on cornell-glossy —
+    loss and all parameter-gradient families must agree (the two
+    implementations share no code beyond the scene tables)."""
+    from go_raytracing_tpu.render.grad import render_grad
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    scene, cam = grt.load_scene("cornell-glossy")
+    cam = dataclasses.replace(cam, image_width=128, aspect_ratio=1.0,
+                              samples_per_pixel=8, max_depth=5)
+    assert mega.grad_pathwise_applicable(scene, cam.max_depth)
+    target = np.zeros((cam.image_height, cam.image_width, 3), np.float32)
+    loss_k, gk = render_grad(scene, cam, target, spp=8, seed=0)
+    os.environ["GRT_NO_GRADKERNEL"] = "1"
+    try:
+        loss_x, gx = render_grad(scene, cam, target, spp=8, seed=0)
+    finally:
+        del os.environ["GRT_NO_GRADKERNEL"]
+    rel_loss = abs(float(loss_k) - float(loss_x)) / max(
+        abs(float(loss_x)), 1e-12)
+    worst = 0.0
+    for k in gx:
+        a, b = np.asarray(gk[k]), np.asarray(gx[k])
+        den = max(float(np.abs(b).max()), 1e-12)
+        worst = max(worst, float(np.abs(a - b).max()) / den)
+    print(f"grad kernel check: rel_loss={rel_loss:.2e} worst_rel={worst:.2e}",
+          flush=True)
+    return dict(rel_loss=round(rel_loss, 9), worst_grad_rel=round(worst, 9),
+                ok=bool(rel_loss < 1e-5 and worst < 1e-3))
+
+
 def main():
     tag = sys.argv[1] if len(sys.argv) > 1 else "r02"
     assert jax.default_backend() == "tpu", "must run on the chip"
@@ -105,10 +139,12 @@ def main():
         device=str(jax.devices()[0]),
         goldens=golden_compare(),
         fd_gradcheck=fd_gradcheck(),
+        grad_kernel=grad_kernel_check(),
     )
     result["all_ok"] = bool(
         all(v["ok"] for v in result["goldens"].values())
         and result["fd_gradcheck"]["ok"]
+        and result["grad_kernel"]["ok"]
     )
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"TPU_CHECK_{tag}.json")

@@ -28,6 +28,8 @@ CASES = [
     ("glossy-metal", 24, 4, 5),
     ("perlin", 24, 2, 4),
     ("cornell-lucy", 24, 2, 4),
+    ("earth", 24, 2, 5),       # image-texture 'image' mega mode
+    ("hdri-test", 24, 2, 5),   # env miss shader + specular chain
 ]
 
 
