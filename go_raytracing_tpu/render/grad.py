@@ -224,10 +224,15 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     if use_product or use_pathwise:
         # honor an explicit caller chunk (A/B experiments); otherwise 2x
         # the forward pick — the kernel path has no scan carries, and
-        # fewer launches measured +5% on the cornell headline
-        # (41.8 -> 44.0 Mrays/s at 2 chunks vs 5; /tmp probe round 4)
+        # fewer launches measured +5% on the cornell headline (41.8 ->
+        # 44.0 Mrays/s at 2 chunks vs 5).  NOT for env scenes: their
+        # wall is texel-scatter-bound (chunk-size-neutral) and the
+        # ragged 8.4M+0.7M split measured 5.4 -> 4.4 Mrays/s.
+        pick = rmod.pick_chunk_size(scene)
+        if scene.env is None:
+            pick = 2 * pick
         kchunk = max(explicit_chunk if explicit_chunk is not None
-                     else 2 * rmod.pick_chunk_size(scene), 1024)
+                     else pick, 1024)
         kchunk = min(kchunk, max(1024, -(-total // 1024) * 1024))
         kchunk = max(kchunk // n_virt, 1) * n_virt  # sample-aligned
         fb = rmod.render(scene, cam, spp=spp, max_depth=max_depth,
