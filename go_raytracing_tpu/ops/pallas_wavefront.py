@@ -306,13 +306,20 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             # (3, from jax.vjp of the bilinear env fetch, pre-masked —
             # injected at the lit bounce so specular-chain fuzz/IOR
             # grads see the env term).
-            (pt, st, sb, vt, lt,
-             *env_refs,
-             ox, oy, oz, dx, dy, dz, tmr, stream_ref,
-             gxr, gyr, gzr,
-             rr, rg, rb, gout,
-             stash_f, stash_i, gacc) = refs
-            hdri_refs = []
+            # Extra input groups, in order: [hdri rows] (env-NEE scenes,
+            # 7*depth rows — same streaming as the forward kernel) then
+            # [env miss rows] (mc + λ_mdir, 6 rows).  Extra output when
+            # use_hdri: eout (env-NEE texel cotangents, 3*depth rows).
+            n_tail = 11 + 4 + (1 if use_hdri else 0) + 3
+            pt, st, sb, vt, lt = refs[:5]
+            extra_refs = refs[5:len(refs) - n_tail]
+            (ox, oy, oz, dx, dy, dz, tmr, stream_ref,
+             gxr, gyr, gzr, rr, rg, rb, gout,
+             *tail) = refs[len(refs) - n_tail:]
+            eout = tail[0] if use_hdri else None
+            stash_f, stash_i, gacc = tail[-3:]
+            hdri_refs = [extra_refs[0]] if use_hdri else []
+            env_refs = list(extra_refs[1 if use_hdri else 0:])
         else:
             (pt, st, sb, vt, lt,
              *hdri_refs,
@@ -948,7 +955,8 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                       | jnp.where(is_met & hit, 32, 0)
                       | jnp.where(is_die & hit, 64, 0)
                       | jnp.where(hit, 128, 0)
-                      | jnp.where(use_mis, 256, 0))
+                      | jnp.where(use_mis, 256, 0)
+                      | jnp.where(blk_h, 512, 0))
                 stash_i[b_i, 2] = mk
             elif grad_mode:
                 # Per-bounce stash for the in-kernel reverse sweep: with
@@ -1210,6 +1218,62 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                   + c_dist * dist_act * ldir[c]
                                   for c in range(3)]
                         lp_nee = [-lam_tl[c] for c in range(3)]
+
+                    # ---- HDRI-NEE reverse (env + lights scenes): the
+                    # importance sample rows are streamed inputs (static
+                    # bounce index), the shadow outcome is the stashed
+                    # blk_h bit, and — unlike the area light — there is
+                    # NO p-dependence (solid-angle pdf, no distance
+                    # term): only the normal cotangent and the env TEXEL
+                    # cotangent (written to eout; XLA scatter-adds it at
+                    # the alias-picked texel it recomputes from the same
+                    # RNG).  Mirrors the forward block op-for-op.
+                    if use_hdri:
+                        (href,) = hdri_refs
+                        hrow = [href[k * 7 + c] for c in range(7)]
+                        hdv = hrow[0:3]
+                        hemr = hrow[3:6]
+                        pdf_h = hrow[6]
+                        cos_h = dot3(nv, hdv)
+                        blkh_b = (mk & 512) > 0
+                        ok_h = (cos_h > 0.0) & ~blkh_b & misb
+                        okf_h = jnp.where(ok_h, zero + 1.0, zero)
+                        pdf_bh = jnp.maximum(cos_h, 0.0) \
+                            * np.float32(1.0 / np.pi)
+                        qh = jnp.maximum(pdf_h, 1e-12)
+                        rh = jnp.maximum(pdf_h + pdf_bh, 1e-20)
+                        wgt_h = pdf_h / rh
+                        scale_h = cos_h / qh * wgt_h
+                        W_h = zero * 1.0
+                        for c in range(3):
+                            uncl_h = hemr[c] * alb[c] * scale_h < FIREFLY
+                            uf_h = jnp.where(uncl_h, okf_h, zero)
+                            # em_su/clampf fold: cot_alb and the ltp
+                            # recurrence treat area and env NEE terms
+                            # identically (both scale alb)
+                            em_su[c] = em_su[c] + hemr[c] * scale_h * uf_h
+                            clampf[c] = clampf[c] + (okf_h - uf_h)
+                            eout[k * 3 + c] = (g[c] * T[c] * alb[c]
+                                               * scale_h * uf_h)
+                            W_h = W_h + g[c] * T[c] * hemr[c] * alb[c] * uf_h
+                        # sanitize the chain on not-ok lanes (0*inf = NaN)
+                        pdf_h_s = jnp.where(ok_h, pdf_h, zero + 1.0)
+                        pdf_bh_s = jnp.where(ok_h, pdf_bh, zero + 1.0)
+                        qh_s = jnp.where(ok_h, qh, zero + 1.0)
+                        rh_s = jnp.where(ok_h, rh, zero + 1.0)
+                        r_act_h = jnp.where(pdf_h + pdf_bh > 1e-20,
+                                            zero + 1.0, zero)
+                        inv_qr_h = 1.0 / (qh_s * rh_s)
+                        # scale_h = cos_h * pdf_h / (q * r)
+                        ds_dcos_h = pdf_h_s * inv_qr_h
+                        ds_dpbh = (-cos_h * pdf_h_s * r_act_h
+                                   * inv_qr_h / rh_s)
+                        dpbh_dcos = jnp.where(cos_h > 0.0,
+                                              zero + np.float32(1.0 / np.pi),
+                                              zero)
+                        c_cos_h = W_h * (ds_dcos_h + ds_dpbh * dpbh_dcos)
+                        for c in range(3):
+                            ln_nee[c] = ln_nee[c] + c_cos_h * hdv[c]
 
                     # ---- scatter Jacobian reverse (u = λ_{d_{k+1}})
                     u = ldv
@@ -1555,18 +1619,17 @@ def grad_applicable(scene, max_depth: int) -> bool:
 def grad_pathwise_applicable(scene, max_depth: int) -> bool:
     """Static gate for the PATHWISE gradient megakernel: admits metal and
     dielectric (fuzz / IOR gradients via in-kernel scatter-direction
-    adjoints + intersection backprop) and NEE-free environment maps
-    (miss-only env: texel scatter + λ_mdir computed XLA-side and
-    streamed, see grad_megakernel; env + quad lights stays on the
-    replay path — the per-bounce NEE texel scatter is not in the
-    kernel).  Still excludes noise textures (marble albedo depends
-    continuously on p; its adjoint is not in the kernel) and volumes
-    (the scatter-distance adjoint through the boundary window is not
-    implemented — all-diffuse volume scenes take the cheaper
-    product-chain kernel instead, see grad_applicable)."""
+    adjoints + intersection backprop) and environment maps: miss-only
+    env (texel scatter + λ_mdir computed XLA-side and streamed) AND —
+    round 4 — env + NEE quad lights (the per-bounce HDRI importance
+    rows are streamed in, the per-bounce env texel COTANGENT rows are
+    streamed back out, and the alias-picked texel scatter happens
+    XLA-side; see grad_megakernel).  Still excludes noise textures
+    (marble albedo depends continuously on p; its adjoint is not in the
+    kernel) and volumes (the scatter-distance adjoint through the
+    boundary window is not implemented — all-diffuse volume scenes take
+    the cheaper product-chain kernel instead, see grad_applicable)."""
     if not applicable(scene):
-        return False
-    if scene.env is not None and scene.n_lights > 0:
         return False
     if scene.has_noise:
         return False
@@ -1590,7 +1653,7 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
                n_planar,
                n_sphere, n_sph_seg, n_vol, n_lights, has_checker, max_depth,
                n_tex, miss_cfg, block_rows=BLOCK_ROWS, sph_seg=None,
-               pathwise=False, n_mat=0, env_rows=None):
+               pathwise=False, n_mat=0, env_rows=None, hdri_rows=None):
     """Gradient megakernel launch.  gx/gy/gz: [R] per-channel loss
     cotangent rows (dL/d(radiance); zero for padding lanes).  Returns
     (rad V3 [R], grads [n_tex, 3, 3]) where grads[t, v, c] is
@@ -1633,18 +1696,36 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
                                  lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)]
 
+    use_hdri = hdri_rows is not None
+    hdri_in, hdri_spec = [], []
+    if use_hdri:
+        assert pathwise, "env-NEE grad rows need the pathwise reverse"
+        hdri_in = [jnp.stack([prep(a) for a in hdri_rows], axis=0)]
+        d7 = len(hdri_rows)
+        hdri_spec = [pl.BlockSpec((d7, block_rows, LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+    eout_spec, eout_shape = [], []
+    if use_hdri:
+        eout_spec = [pl.BlockSpec((3 * max_depth, block_rows, LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        eout_shape = [jax.ShapeDtypeStruct((3 * max_depth, rows, LANES),
+                                           jnp.float32)]
+
     n_gacc = 9 * max(n_tex, 1) + (2 * n_mat if pathwise else 0)
     assert n_gacc <= 8 * LANES, "parameter slots exceed the [8,128] gout"
     outs = pl.pallas_call(
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
                     has_checker, max_depth, grad_mode=True, n_tex=n_tex,
                     miss_cfg=miss_cfg, sph_seg=sph_seg, pathwise=pathwise,
-                    n_mat=n_mat),
+                    n_mat=n_mat, use_hdri=use_hdri),
         grid=grid,
-        in_specs=[smem] * 7 + env_spec + [ray_spec] * 11,
-        out_specs=[out_spec] * 3 + [gout_spec],
+        in_specs=[smem] * 7 + hdri_spec + env_spec + [ray_spec] * 11,
+        out_specs=[out_spec] * 3 + [gout_spec] + eout_spec,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3
-        + [jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.float32)],
+        + [jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.float32)]
+        + eout_shape,
         scratch_shapes=[
             pltpu.VMEM((max_depth, 19 if pathwise else 12, block_rows,
                         LANES), jnp.float32),
@@ -1655,16 +1736,19 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
     )(
         jnp.asarray([n_planar, n_sphere], jnp.int32),
         jnp.asarray([seed], jnp.uint32),
-        pt, st, sb, vt, lt, *env_in, *rays, *grows,
+        pt, st, sb, vt, lt, *hdri_in, *env_in, *rays, *grows,
     )
     flat = [x.reshape(-1)[:r] for x in outs[:3]]
     rad = V3(flat[0], flat[1], flat[2])
     gsum = outs[3].reshape(n_blocks, 8 * LANES).sum(axis=0)
     grads = gsum[: 9 * n_tex].reshape(n_tex, 3, 3)
+    cot_env = None
+    if use_hdri:
+        cot_env = outs[4].reshape(3 * max_depth, -1)[:, :r]
     if not pathwise:
         return rad, grads
     mg = gsum[9 * n_tex: 9 * n_tex + 2 * n_mat].reshape(n_mat, 2)
-    return rad, grads, mg[:, 0], mg[:, 1]
+    return rad, grads, mg[:, 0], mg[:, 1], cot_env
 
 
 def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
@@ -1688,22 +1772,47 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
     )
 
     env_rows = env_grad = None
+    hdri_rows = None
+    hdri_xy = None
     if scene.env is not None:
-        # Env scenes (grad gates require n_lights == 0 -> no NEE): the
-        # env enters ONLY through the miss shader.  Launch the plain
-        # forward kernel for the per-ray miss records, do the bilinear
-        # env fetch + its texel scatter AND direction cotangent XLA-side
-        # (exactly what the differentiable path computes,
-        # integrator/wavefront._miss_radiance), then stream the miss
-        # radiance + λ_mdir rows into the gradient kernel so the
-        # specular-chain fuzz/IOR adjoints see the env term.
-        # Reference: rt/hdri.go:120-128 (miss shader), rt/camera.go:452-466.
-        assert n_lights == 0, "env grad kernel requires no NEE lights"
+        # Env scenes: the miss-shader env term is handled by streaming —
+        # launch the plain forward kernel for the per-ray miss records,
+        # do the bilinear env fetch + its texel scatter AND direction
+        # cotangent XLA-side (exactly what the differentiable path
+        # computes, integrator/wavefront._miss_radiance), then stream
+        # the miss radiance + λ_mdir rows into the gradient kernel so
+        # the specular-chain fuzz/IOR adjoints see the env term.
+        # Env + NEE LIGHTS scenes additionally stream the per-bounce
+        # HDRI importance-sample rows in (same rows as the forward
+        # kernel) and receive the per-bounce env texel COTANGENT rows
+        # back (eout) — the texel ids are recomputed here from the same
+        # RNG (alias picks are ray-state-independent) and scatter-added.
+        # Reference: rt/hdri.go:120-297, rt/camera.go:452-607.
         from ..core.vec3 import V3
         from ..lights import hdri as hdri_mod
 
+        use_env_nee = n_lights > 0 and scene.env_importance
+        if use_env_nee:
+            assert pathwise, "env+lights grads need the pathwise kernel"
+            env_sg = sg(scene.env)
+            seed_u = jnp.uint32(seed) if not hasattr(seed, "dtype") else seed
+            rows_h, xys = [], []
+            for b in range(int(cam.max_depth)):
+                xi1 = rngmod.uniform(seed_u, stream,
+                                     jnp.uint32(b), rngmod.HDRI_ROW)
+                xi2 = rngmod.uniform(seed_u, stream,
+                                     jnp.uint32(b), rngmod.HDRI_COL)
+                ld, em, pdf_h = hdri_mod.sample_direction_soa(
+                    env_sg, xi1, xi2)
+                rows_h += [ld.x, ld.y, ld.z, em.x, em.y, em.z, pdf_h]
+                yb, xb = hdri_mod._alias_pick(env_sg, xi1, xi2)
+                xys.append(yb * scene.env.data.shape[1] + xb)
+            hdri_rows = tuple(rows_h)
+            hdri_xy = xys
+
         _, m_dir, m_tp, missed, m_prim = _call(
             pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream,
+            hdri_rows=hdri_rows,
             has_noise=bool(scene.has_noise), **statics)
         safe = [jnp.where(missed, v, w) for v, w in
                 ((m_dir.x, 0.0), (m_dir.y, 0.0), (m_dir.z, 1.0))]
@@ -1739,16 +1848,29 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
         pt, st, sb, vt, lt, seed, sg(o), sg(d), sg(tm), stream,
         g3[0], g3[1], g3[2],
         n_tex=n_tex, miss_cfg=miss_cfg,
-        pathwise=pathwise, n_mat=n_mat, env_rows=env_rows, **statics,
+        pathwise=pathwise, n_mat=n_mat, env_rows=env_rows,
+        hdri_rows=hdri_rows, **statics,
     )
     if not pathwise:
         rad, grads = out
         gdict = dict(color=grads[:, 0], even_color=grads[:, 1],
                      odd_color=grads[:, 2])
     else:
-        rad, grads, gfuzz, gior = out
+        rad, grads, gfuzz, gior, cot_env = out
         gdict = dict(color=grads[:, 0], even_color=grads[:, 1],
                      odd_color=grads[:, 2], fuzz=gfuzz, ior=gior)
+        if cot_env is not None:
+            # NEE env texel scatter: per (bounce, ray) cotangent rows at
+            # the alias-picked texel (recomputed from the same RNG).
+            h, w = scene.env.data.shape[:2]
+            idx = jnp.concatenate(hdri_xy)                 # [depth*R]
+            vals = jnp.stack(
+                [jnp.concatenate([cot_env[k * 3 + c]
+                                  for k in range(int(cam.max_depth))])
+                 for c in range(3)], axis=-1)              # [depth*R, 3]
+            nee_grad = jnp.zeros((h * w, 3), jnp.float32).at[idx].add(
+                vals).reshape(h, w, 3)
+            env_grad = env_grad + nee_grad
     if env_grad is not None:
         gdict["env_data"] = env_grad
     return rad, gdict

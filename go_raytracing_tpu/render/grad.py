@@ -207,9 +207,12 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     # scenes (lambertian/light/isotropic) the whole fwd+bwd of a chunk
     # runs in ONE pallas kernel — the path adjoint is an exact in-kernel
     # product-chain reverse sweep, and fuzz/ior/atlas grads are
-    # structurally zero (ops/pallas_wavefront.grad_applicable).  NEE-free
-    # env scenes ride either kernel (miss-only env: texel scatter +
-    # λ_mdir streamed, see grad_megakernel).  ~10x the XLA replay
+    # structurally zero (ops/pallas_wavefront.grad_applicable).  Env
+    # scenes ride the kernels too: miss-only env on either kernel (texel
+    # scatter + λ_mdir streamed) and env + NEE lights on the pathwise
+    # kernel (per-bounce importance rows in, texel cotangent rows out —
+    # see grad_megakernel); only noise textures, image scenes, and
+    # volume + specular combinations still replay.  ~10x the XLA replay
     # backward; equivalence tested vs it.
     from ..ops import pallas_wavefront as mega
 

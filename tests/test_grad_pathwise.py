@@ -178,6 +178,66 @@ def test_env_grad_kernel_matches_autodiff(phantom):
         mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
 
 
+def test_env_nee_grad_kernel_matches_autodiff():
+    """Env + NEE quad lights (round 4): the pathwise kernel streams the
+    per-bounce HDRI importance rows in, streams the per-bounce env texel
+    cotangent rows OUT, and the alias-picked scatter happens XLA-side —
+    all gradient families including env texels must match jax.grad
+    (rt/hdri.go:120-297 + rt/camera.go:565-678 both active)."""
+    rng = np.random.default_rng(7)
+    env = rng.uniform(0.05, 1.0, size=(8, 16, 3)).astype(np.float32)
+    env[2, 4] = (9.0, 8.0, 7.0)
+    b = grt.SceneBuilder()
+    checker = b.lambertian(b.checker(0.5, (0.1, 0.1, 0.1), (0.9, 0.9, 0.9)))
+    b.quad((-6, 0, -6), (12, 0, 0), (0, 0, 12), checker)
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-2.5, 1, 0), 1.0, b.metal((1.0, 1.0, 1.0), 0.0))
+    b.sphere((2.5, 1, 0), 1.0, b.metal((1.0, 0.84, 0.0), 0.1))
+    b.sphere((0.0, 1.0, 2.2), 0.8, b.lambertian((0.2, 0.4, 0.7)))
+    q = b.quad((-1.5, 6, -1.5), (3, 0, 0), (0, 0, 3),
+               b.diffuse_light((9, 9, 9)))
+    b.add_light(q)
+    b.set_environment(env)
+    scene = b.build()
+    assert scene.n_lights == 1 and scene.env is not None
+    cam = Camera(image_width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=4, look_from=(0, 2.5, 8), look_at=(0, 1, 0),
+                 vfov=45.0)
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        assert mega.grad_pathwise_applicable(scene, cam.max_depth)
+        assert not mega.grad_applicable(scene, cam.max_depth)
+        r = cam.image_width * cam.image_width * 4
+        o, d, tm, ids, g = _rays_and_g(cam, r)
+        rad_k, gk = mega.grad_megakernel(
+            scene, cam, o, d, tm, ids, 0, (g[:, 0], g[:, 1], g[:, 2]),
+            pathwise=True)
+        rad_ref = wavefront.trace(scene, cam, o, d, tm, ids, 0,
+                                  differentiable=False)
+        np.testing.assert_allclose(
+            np.asarray(rad_k.rows()), np.asarray(rad_ref.rows()),
+            rtol=1e-4, atol=1e-5)
+
+        def inner(params):
+            s = apply_params(scene, params)
+            rad = wavefront.trace(s, cam, o, d, tm, ids, 0,
+                                  differentiable=True)
+            return jnp.sum(rad.rows() * g)
+
+        gx = jax.grad(inner)(trainable_params(scene))
+        for k in ("color", "even_color", "odd_color", "fuzz", "ior",
+                  "env_data"):
+            b_ = np.asarray(gx[k])
+            assert np.abs(b_).max() > 1e-6, \
+                f"autodiff produced no {k} signal; test scene too weak"
+            np.testing.assert_allclose(
+                np.asarray(gk[k]), b_, rtol=5e-3,
+                atol=1e-4 * np.abs(b_).max(), err_msg=k)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
+
+
 def test_pathwise_fuzz_ior_perturbation_matches_xla():
     """The kernel FORWARD must respond to fuzz/IOR perturbations exactly
     like the XLA forward: central differences of the two implementations

@@ -98,7 +98,7 @@ def test_render_grad_routes_all_tiers():
     cases = {
         "cornell": (True, False),         # product-chain gate
         "cornell-glossy": (False, True),  # pathwise gate
-        "combined": (False, False),       # env + NEE light -> replay
+        "combined": (False, False),       # volume + metal -> replay
     }
     old_br = mega.BLOCK_ROWS
     mega.INTERPRET, mega.BLOCK_ROWS = True, 8
@@ -112,8 +112,10 @@ def test_render_grad_routes_all_tiers():
                 q = b.quad((-1, 5, -1), (2, 0, 0), (0, 0, 2),
                            b.diffuse_light((6, 6, 6)))
                 b.add_light(q)
-                env = np.full((8, 16, 3), 0.6, np.float32)
-                b.set_environment(env)
+                # a volume keeps this on the replay tier (the pathwise
+                # kernel excludes media; env + lights is admitted since
+                # round 4)
+                b.volume_box((-3, 0, -3), (3, 2, 3), 0.05, (0.8, 0.8, 0.8))
                 scene = b.build()
                 _, cam = grt.load_scene("cornell")
             else:
