@@ -941,9 +941,11 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 stash_f[b_i, 17] = jnp.where(is_sphere & hit,
                                              flip * inv_rad, zero)
                 stash_f[b_i, 18] = t_rec
-                # dielectric albedo never enters (atten = 1): slot -3
-                slot = jnp.where(hit & ~is_die, tex_attr * 3.0 + variant,
-                                 zero - 3.0)
+                # dielectric albedo never enters (atten = 1) and marble
+                # albedo has NO trainable-parameter dependence (grayscale
+                # 0.5*(1+sin), rt/perlin.go) — both route to slot -3
+                slot = jnp.where(hit & ~is_die & (texkind != 2.0),
+                                 tex_attr * 3.0 + variant, zero - 3.0)
                 stash_i[b_i, 0] = slot.astype(jnp.int32)
                 stash_i[b_i, 1] = jnp.where(hit, mat_attr,
                                             zero - 9.0).astype(jnp.int32)
@@ -970,7 +972,10 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     stash_f[b_i, 3 + c] = atten[c]       # alb
                     stash_f[b_i, 6 + c] = g_em_su[c]     # em*scale*uncl*ok
                     stash_f[b_i, 9 + c] = g_alb_su[c]    # alb*scale*uncl*ok
-                slot = jnp.where(hit, tex_attr * 3.0 + variant, zero - 3.0)
+                # marble albedo has no trainable-parameter dependence
+                # (grayscale 0.5*(1+sin)): noise winners route to -3
+                slot = jnp.where(hit & (texkind != 2.0),
+                                 tex_attr * 3.0 + variant, zero - 3.0)
                 stash_i[b_i, 0] = slot.astype(jnp.int32)
                 stash_i[b_i, 1] = (g_lslot * 3.0).astype(jnp.int32)
                 mk = (jnp.where(emit_mask, 1, 0)
@@ -1598,15 +1603,16 @@ def grad_applicable(scene, max_depth: int) -> bool:
     quad-table path), and the flat slot space (3 variants x 3 channels
     per texture) must fit the [8, 128] per-block gradient vector.  Under
     the gate, fuzz/ior/atlas gradients are structurally zero and the
-    path adjoint is an exact product-chain reverse sweep (in-kernel)."""
+    path adjoint is an exact product-chain reverse sweep (in-kernel).
+    Noise textures are admitted (round 4): marble albedo is
+    parameter-FREE grayscale and positions are parameter-independent
+    here, so noise winners simply route to the null cotangent slot."""
     import numpy as np
 
     if not applicable(scene):
         return False
     if scene.env is not None and scene.n_lights > 0:
-        return False  # NEE env texel scatter not in the kernel (replay)
-    if scene.has_noise:
-        return False  # marble-modulated albedo adjoint not in the kernel
+        return False  # NEE env texel scatter needs the pathwise kernel
     if max_depth > 12:
         return False
     kinds = np.asarray(scene.materials.kind)
@@ -1624,11 +1630,14 @@ def grad_pathwise_applicable(scene, max_depth: int) -> bool:
     round 4 — env + NEE quad lights (the per-bounce HDRI importance
     rows are streamed in, the per-bounce env texel COTANGENT rows are
     streamed back out, and the alias-picked texel scatter happens
-    XLA-side; see grad_megakernel).  Still excludes noise textures
-    (marble albedo depends continuously on p; its adjoint is not in the
-    kernel) and volumes (the scatter-distance adjoint through the
-    boundary window is not implemented — all-diffuse volume scenes take
-    the cheaper product-chain kernel instead, see grad_applicable)."""
+    XLA-side; see grad_megakernel).  Still excludes noise textures:
+    marble is parameter-FREE grayscale (the product kernel admits it,
+    round 4), but here positions are parameter-DEPENDENT and the
+    ∂marble/∂p term (7-octave lattice-gradient adjoint) is not in the
+    reverse sweep.  Also excludes volumes (the scatter-distance adjoint
+    through the boundary window is not implemented — all-diffuse volume
+    scenes take the cheaper product-chain kernel instead, see
+    grad_applicable)."""
     if not applicable(scene):
         return False
     if scene.has_noise:
@@ -1647,13 +1656,14 @@ def grad_pathwise_applicable(scene, max_depth: int) -> bool:
     static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
                      "n_lights", "has_checker", "max_depth", "n_tex",
                      "miss_cfg", "block_rows", "sph_seg", "pathwise",
-                     "n_mat"),
+                     "n_mat", "has_noise"),
 )
 def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
                n_planar,
                n_sphere, n_sph_seg, n_vol, n_lights, has_checker, max_depth,
                n_tex, miss_cfg, block_rows=BLOCK_ROWS, sph_seg=None,
-               pathwise=False, n_mat=0, env_rows=None, hdri_rows=None):
+               pathwise=False, n_mat=0, env_rows=None, hdri_rows=None,
+               has_noise=False):
     """Gradient megakernel launch.  gx/gy/gz: [R] per-channel loss
     cotangent rows (dL/d(radiance); zero for padding lanes).  Returns
     (rad V3 [R], grads [n_tex, 3, 3]) where grads[t, v, c] is
@@ -1719,7 +1729,7 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
         make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
                     has_checker, max_depth, grad_mode=True, n_tex=n_tex,
                     miss_cfg=miss_cfg, sph_seg=sph_seg, pathwise=pathwise,
-                    n_mat=n_mat, use_hdri=use_hdri),
+                    n_mat=n_mat, use_hdri=use_hdri, has_noise=has_noise),
         grid=grid,
         in_specs=[smem] * 7 + hdri_spec + env_spec + [ray_spec] * 11,
         out_specs=[out_spec] * 3 + [gout_spec] + eout_spec,
@@ -1849,7 +1859,7 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
         g3[0], g3[1], g3[2],
         n_tex=n_tex, miss_cfg=miss_cfg,
         pathwise=pathwise, n_mat=n_mat, env_rows=env_rows,
-        hdri_rows=hdri_rows, **statics,
+        hdri_rows=hdri_rows, has_noise=bool(scene.has_noise), **statics,
     )
     if not pathwise:
         rad, grads = out

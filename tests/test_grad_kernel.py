@@ -112,8 +112,8 @@ def test_grad_kernel_gate():
         s3 = b.build()
         assert mega.grad_applicable(s3, 4)
 
-        # ... but env + NEE quad light still replays (per-bounce NEE
-        # texel scatter is not in the kernel).
+        # ... but env + NEE quad light leaves the PRODUCT gate (the
+        # pathwise kernel takes it — per-bounce texel cotangent rows).
         b = grt.SceneBuilder()
         b.sphere((0, 0, -3), 1.0, b.lambertian((0.5, 0.5, 0.5)))
         q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2),
@@ -152,3 +152,64 @@ def test_render_grad_uses_kernel_and_matches():
                 atol=1e-8, err_msg=k)
     finally:
         mega.INTERPRET = False
+
+
+def test_grad_kernel_admits_noise_scenes():
+    """Marble (noise) albedo is parameter-FREE grayscale, so the product
+    kernel admits noise scenes (round 4): noise winners route to the
+    null cotangent slot and the remaining color/emission gradients match
+    jax.grad exactly (rt/perlin.go — NoiseTexture has no trainable
+    parameters)."""
+    from go_raytracing_tpu.camera import generate_rays
+    from go_raytracing_tpu.integrator import wavefront
+    from go_raytracing_tpu.parallel.sharding import (apply_params,
+                                                     trainable_params)
+
+    b = grt.SceneBuilder()
+    b.quad((-6, 0, -6), (12, 0, 0), (0, 0, 12),
+           b.lambertian(b.noise(2.0)))              # marble floor
+    b.sphere((0, 1, 0), 1.0, b.lambertian((0.2, 0.4, 0.7)))
+    b.sphere((-2.2, 0.8, 0.5), 0.8, b.lambertian(b.noise(4.0)))
+    q = b.quad((-1.5, 5, -1.5), (3, 0, 0), (0, 0, 3),
+               b.diffuse_light((8, 8, 8)))
+    b.add_light(q)
+    scene = b.build()
+    assert scene.has_noise
+    from go_raytracing_tpu.camera import Camera
+    cam = Camera(image_width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=4, look_from=(0, 3, 7), look_at=(0, 1, 0),
+                 background=(0.05, 0.05, 0.1), vfov=45.0)
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        assert mega.grad_applicable(scene, cam.max_depth)
+        r = 16 * 16 * 4
+        ids = jnp.arange(r, dtype=jnp.uint32)
+        px = ((ids % 256) % 16).astype(jnp.int32)
+        py = ((ids % 256) // 16).astype(jnp.int32)
+        o, d, tm = generate_rays(cam, px, py, ids, 0)
+        g = jnp.asarray(
+            np.random.default_rng(3).uniform(size=(r, 3)) * 1e-3,
+            jnp.float32)
+        rad_k, gk = mega.grad_megakernel(
+            scene, cam, o, d, tm, ids, 0, (g[:, 0], g[:, 1], g[:, 2]))
+        rad_ref = wavefront.trace(scene, cam, o, d, tm, ids, 0,
+                                  differentiable=False)
+        np.testing.assert_allclose(np.asarray(rad_k.rows()),
+                                   np.asarray(rad_ref.rows()),
+                                   rtol=1e-4, atol=1e-5)
+
+        def inner(p):
+            s = apply_params(scene, p)
+            rad = wavefront.trace(s, cam, o, d, tm, ids, 0,
+                                  differentiable=True)
+            return jnp.sum(rad.rows() * g)
+
+        gx = jax.grad(inner)(trainable_params(scene))
+        assert np.abs(np.asarray(gx["color"])).max() > 1e-6
+        for k in ("color", "even_color", "odd_color"):
+            np.testing.assert_allclose(
+                np.asarray(gk[k]), np.asarray(gx[k]), rtol=5e-3,
+                atol=1e-7, err_msg=k)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
