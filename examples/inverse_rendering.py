@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2.0)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--mesh", action="store_true",
+                    help="optimize through the PRODUCTION chunked "
+                         "fast-gradient pipeline (render/grad.py) with "
+                         "every chunk sharded over the device mesh, "
+                         "instead of the one-program train_step")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -75,11 +80,25 @@ def main():
     perturbed["fuzz"] = jnp.clip(p0["fuzz"] + 0.2, 0.0, 1.0)
     scene_hat = sharding.apply_params(scene, perturbed)
 
+    from go_raytracing_tpu.render.grad import render_grad
+
     for step in range(args.steps):
-        scene_hat, loss = sharding.train_step(
-            scene_hat, cam, mesh, target, jnp.uint32(step + 1),
-            jnp.float32(args.lr), spp=args.spp,
-        )
+        if args.mesh:
+            # Production tier: chunked fast-gradient pipeline, each chunk
+            # split across the mesh, grads psum-reduced per chunk.
+            loss, grads = render_grad(
+                scene_hat, cam, np.asarray(target), spp=args.spp,
+                seed=step + 1, mesh=mesh,
+            )
+            params = sharding.trainable_params(scene_hat)
+            params = jax.tree_util.tree_map(
+                lambda p, g: p - args.lr * g, params, grads)
+            scene_hat = sharding.apply_params(scene_hat, params)
+        else:
+            scene_hat, loss = sharding.train_step(
+                scene_hat, cam, mesh, target, jnp.uint32(step + 1),
+                jnp.float32(args.lr), spp=args.spp,
+            )
         if step % 10 == 0 or step == args.steps - 1:
             err = jax.tree_util.tree_map(
                 lambda a, b: float(jnp.abs(a - b).mean()),

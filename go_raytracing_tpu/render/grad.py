@@ -34,8 +34,14 @@ import jax.numpy as jnp
 from ..camera import Camera, generate_rays
 from ..geometry.scene import Scene
 from ..integrator import wavefront
-from ..parallel.sharding import apply_params, trainable_params
+from ..parallel.sharding import RAY_AXIS, apply_params, trainable_params
 from . import renderer as rmod
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _chunk_rays(scene: Scene, cam: Camera, ray_start, seed, *,
@@ -89,11 +95,9 @@ def _record_chunk(scene: Scene, cam: Camera, accum, ray_start, seed, *,
     return accum.at[pixel].add(rows), dec
 
 
-@partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"))
-def _grad_kernel_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
-                       seed, *, spp: int, chunk: int, max_depth: int,
-                       pathwise: bool = False):
+def _grad_kernel_body(scene: Scene, cam: Camera, g_virt, ray_start,
+                      seed, *, spp: int, chunk: int, max_depth: int,
+                      pathwise: bool = False):
     """One chunk of the GRADIENT MEGAKERNEL path: the whole fwd+bwd of
     the bounce loop runs in one pallas kernel (ops/pallas_wavefront
     grad_mode — gate: pallas_wavefront.grad_applicable).  Returns the
@@ -123,11 +127,118 @@ def _grad_kernel_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
     return grads
 
 
+_grad_kernel_chunk = partial(jax.jit, static_argnames=(
+    "cam", "spp", "chunk", "max_depth", "pathwise"))(_grad_kernel_body)
+
+
 @partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth", "mega_mode"))
-def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
-               spp: int, chunk: int, max_depth: int, dec=None,
-               mega_mode: str = "off"):
+         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise",
+                          "mesh"))
+def _grad_kernel_chunk_sharded(scene: Scene, cam: Camera, g_virt, ray_start,
+                               seed, *, mesh: Mesh, spp: int, chunk: int,
+                               max_depth: int, pathwise: bool = False):
+    """Mesh-parallel gradient-megakernel chunk: the global ``chunk`` is
+    split into contiguous per-device slices over Mesh('rays'); each
+    device runs the gradient megakernel on its slice and the grads dict
+    is psum-reduced over ICI (table-sized payload — SCALING.json says
+    ~232 bytes for Cornell, one all-reduce per chunk).  Bit-identical
+    ray streams: the RNG is keyed on global ray ids, so the partition
+    changes only the order of the final adds.  Reference analog: the
+    bucket worker pool DP, rt/bucket_renderer.go:194-251."""
+    n_dev = mesh.devices.size
+    per = chunk // n_dev
+    assert per * n_dev == chunk
+    starts = ray_start + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(), P(RAY_AXIS), P()), out_specs=P())
+    def run(scene_rep, g_virt_rep, start, seed_rep):
+        g = _grad_kernel_body(scene_rep, cam, g_virt_rep, start[0], seed_rep,
+                              spp=spp, chunk=per, max_depth=max_depth,
+                              pathwise=pathwise)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, RAY_AXIS), g)
+
+    return run(scene, g_virt, starts, seed)
+
+
+def _fb_rows_body(scene: Scene, cam: Camera, ray_start, seed, *, spp: int,
+                  chunk: int, max_depth: int, mega_mode):
+    """[n_virt, 3] partial radiance sums for one sample-aligned chunk of
+    the FAST forward (renderer._render_chunk's reshape+sum trick)."""
+    cam2, o, d, tm, stream, pixel, valid = _chunk_rays(
+        scene, cam, ray_start, seed, spp=spp, chunk=chunk,
+        max_depth=max_depth)
+    radiance = wavefront.trace(
+        scene, cam2, o, d, tm, stream, seed, differentiable=False,
+        mega_mode=mega_mode)
+    rows = jnp.where(valid[:, None], radiance.rows(), 0.0)
+    n_virt = rmod.ray_layout(cam.image_width, cam.image_height,
+                             rmod.scene_tiled(scene))[2]
+    assert chunk % n_virt == 0
+    return rows.reshape(chunk // n_virt, n_virt, 3).sum(axis=0)
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth", "mega_mode",
+                          "mesh"),
+         donate_argnames=("accum",))
+def _fb_chunk_sharded(scene: Scene, cam: Camera, accum, ray_start, seed, *,
+                      mesh: Mesh, spp: int, chunk: int, max_depth: int,
+                      mega_mode):
+    """Mesh-parallel fast-forward chunk: per-device partial [n_virt, 3]
+    radiance rows, one psum, one host-side scatter into the flat accum
+    (the psum replaces the reference's mutex-guarded framebuffer,
+    rt/bucket_renderer.go:292-300)."""
+    n_dev = mesh.devices.size
+    per = chunk // n_dev
+    starts = ray_start + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(RAY_AXIS), P()), out_specs=P())
+    def run(scene_rep, start, seed_rep):
+        vs = _fb_rows_body(scene_rep, cam, start[0], seed_rep, spp=spp,
+                           chunk=per, max_depth=max_depth,
+                           mega_mode=mega_mode)
+        return jax.lax.psum(vs, RAY_AXIS)
+
+    vs = run(scene, starts, seed)
+    w, h = cam.image_width, cam.image_height
+    tiled = rmod.scene_tiled(scene)
+    if not tiled:
+        return accum + vs
+    n_virt = vs.shape[0]
+    ids_v = jnp.arange(n_virt, dtype=jnp.uint32)
+    pxv, pyv, _ = rmod._id_to_pixel(ids_v, w, h, True)
+    pixv = jnp.minimum((pyv * w + jnp.minimum(pxv, w - 1)).astype(jnp.uint32),
+                       w * h - 1)
+    return accum.at[pixv].add(vs)  # out-of-bounds rows are already zero
+
+
+def _fb_sharded(scene: Scene, cam: Camera, mesh: Mesh, *, spp: int,
+                max_depth: int, seed, chunk: int):
+    """Sharded fast-forward framebuffer [H, W, 3] (summed radiance):
+    every chunk is split across the mesh; requires chunk % (n_virt *
+    n_devices) == 0 so per-device slices stay sample-aligned."""
+    w, h = cam.image_width, cam.image_height
+    _, _, n_virt = rmod.ray_layout(w, h, rmod.scene_tiled(scene))
+    total = n_virt * spp
+    n_dev = mesh.devices.size
+    cam_d = dataclasses.replace(cam, max_depth=max_depth)
+    mode = wavefront.choose_mega_mode(scene, cam_d, chunk // n_dev, False)
+    flat = jnp.zeros((w * h, 3), jnp.float32)
+    pos = 0
+    while pos < total:
+        flat = _fb_chunk_sharded(scene, cam, flat, jnp.uint32(pos), seed,
+                                 mesh=mesh, spp=spp, chunk=chunk,
+                                 max_depth=max_depth, mega_mode=mode)
+        pos += chunk
+    return flat.reshape(h, w, 3)
+
+
+def _chunk_vjp_body(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
+                    spp: int, chunk: int, max_depth: int, dec=None,
+                    mega_mode: str = "off"):
     """Parameter gradient of <chunk radiance, g_fb> for one ray chunk.
 
     ``dec``: the chunk's recorded sweep outcomes from :func:`_record_chunk`
@@ -163,10 +274,42 @@ def _chunk_vjp(scene: Scene, cam: Camera, g_fb_flat, ray_start, seed, *,
     return jax.grad(inner)(trainable_params(scene))
 
 
+_chunk_vjp = partial(jax.jit, static_argnames=(
+    "cam", "spp", "chunk", "max_depth", "mega_mode"))(_chunk_vjp_body)
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth", "mega_mode",
+                          "mesh"))
+def _chunk_vjp_sharded(scene: Scene, cam: Camera, g_fb_flat, ray_start,
+                       seed, *, mesh: Mesh, spp: int, chunk: int,
+                       max_depth: int, mega_mode: str = "off"):
+    """Mesh-parallel REPLAY-tier chunk: each device records its ray
+    slice's discrete sweep outcomes and replays the differentiable
+    backward locally (decisions never leave the device), then the grads
+    dict is psum-reduced.  Used for scenes outside the gradient-kernel
+    gates when a mesh is given."""
+    n_dev = mesh.devices.size
+    per = chunk // n_dev
+    starts = ray_start + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(), P(RAY_AXIS), P()), out_specs=P())
+    def run(scene_rep, g_rep, start, seed_rep):
+        g = _chunk_vjp_body(scene_rep, cam, g_rep, start[0], seed_rep,
+                            spp=spp, chunk=per, max_depth=max_depth,
+                            dec=None, mega_mode=mega_mode)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, RAY_AXIS), g)
+
+    return run(scene, g_fb_flat, starts, seed)
+
+
 def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
                 max_depth: Optional[int] = None, seed: int = 0,
                 chunk: Optional[int] = None,
-                stats: Optional[rmod.RenderStats] = None):
+                stats: Optional[rmod.RenderStats] = None,
+                mesh: Optional[Mesh] = None):
     """Full-resolution loss + parameter gradients, chunked.
 
     target: [H, W, 3] image the render is being fit to.
@@ -175,6 +318,13 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     mean((render/spp - target)^2) because the loss is quadratic in the
     framebuffer (see module docstring) and forward/backward replay the
     same RNG streams.
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` — every chunk is then
+    split into contiguous per-device ray slices via shard_map and the
+    per-chunk grads dict / framebuffer rows are psum-reduced over ICI
+    (the BASELINE north-star composition: fast chunked gradients x data
+    parallelism).  RNG streams are keyed on global ray ids, so results
+    match the single-device path up to float summation order.
     """
     import os
 
@@ -182,6 +332,7 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     max_depth = cam.max_depth if max_depth is None else max_depth
     w, h = cam.image_width, cam.image_height
     _, _, n_virt = rmod.ray_layout(w, h, rmod.scene_tiled(scene))
+    n_dev = mesh.devices.size if mesh is not None else 1
     explicit_chunk = chunk
     if chunk is None:
         # gradient residuals (scan carries) cost ~2x the forward: halve
@@ -237,9 +388,15 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         kchunk = max(explicit_chunk if explicit_chunk is not None
                      else pick, 1024)
         kchunk = min(kchunk, max(1024, -(-total // 1024) * 1024))
-        kchunk = max(kchunk // n_virt, 1) * n_virt  # sample-aligned
-        fb = rmod.render(scene, cam, spp=spp, max_depth=max_depth,
-                         seed=seed, chunk=kchunk, stats=stats, sync=False)
+        # sample-aligned, and per-DEVICE-slice sample-aligned under a mesh
+        align = n_virt * n_dev
+        kchunk = max(kchunk // align, 1) * align
+        if mesh is not None:
+            fb = _fb_sharded(scene, cam, mesh, spp=spp, max_depth=max_depth,
+                             seed=seed, chunk=kchunk)
+        else:
+            fb = rmod.render(scene, cam, spp=spp, max_depth=max_depth,
+                             seed=seed, chunk=kchunk, stats=stats, sync=False)
         resid = fb / spp - target
         loss = jnp.mean(resid * resid)
         g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
@@ -256,15 +413,44 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
             g_virt = g_fb_flat
         pos = 0
         while pos < total:
-            g = _grad_kernel_chunk(scene, cam, g_virt, jnp.uint32(pos),
-                                   seed, spp=spp, chunk=kchunk,
-                                   max_depth=max_depth,
-                                   pathwise=use_pathwise)
+            if mesh is not None:
+                g = _grad_kernel_chunk_sharded(
+                    scene, cam, g_virt, jnp.uint32(pos), seed, mesh=mesh,
+                    spp=spp, chunk=kchunk, max_depth=max_depth,
+                    pathwise=use_pathwise)
+            else:
+                g = _grad_kernel_chunk(scene, cam, g_virt, jnp.uint32(pos),
+                                       seed, spp=spp, chunk=kchunk,
+                                       max_depth=max_depth,
+                                       pathwise=use_pathwise)
             for k in g:
                 grads[k] = grads[k] + g[k]
             pos += kchunk
         if stats is not None:
             stats.chunks += -(-total // kchunk)
+        return loss, grads
+
+    if mesh is not None:
+        # REPLAY tier under a mesh: sharded fast-forward framebuffer,
+        # then per-chunk record+replay VJPs with the decisions resident
+        # per device (never crossing shard_map) and one grads psum.
+        align = n_virt * n_dev
+        chunk = max(chunk // align, 1) * align
+        fb = _fb_sharded(scene, cam, mesh, spp=spp, max_depth=max_depth,
+                         seed=seed, chunk=chunk)
+        resid = fb / spp - target
+        loss = jnp.mean(resid * resid)
+        g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
+        rec_mode = _record_mega_mode(scene, cam, chunk // n_dev, max_depth)
+        pos = 0
+        while pos < total:
+            g = _chunk_vjp_sharded(scene, cam, g_fb_flat, jnp.uint32(pos),
+                                   seed, mesh=mesh, spp=spp, chunk=chunk,
+                                   max_depth=max_depth, mega_mode=rec_mode)
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+            pos += chunk
+        if stats is not None:
+            stats.chunks += -(-total // chunk)
         return loss, grads
 
     rec_mode = _record_mega_mode(scene, cam, chunk, max_depth)
