@@ -216,6 +216,18 @@ def main_all():
         "hdri-fwd-bwd": ("hdri-test",
                          dict(width=800, aspect=16 / 9, spp=25, depth=10),
                          "full gradient (pathwise megakernel + env)"),
+        # round-5 coverage (VERDICT r4 #4/#5/#7): volume scene,
+        # marble scene, and the one remaining replay-tier family
+        # (image atlas) each get a fwd+bwd number
+        "smoke-fwd-bwd": ("cornell-smoke",
+                          dict(width=600, aspect=1.0, spp=25, depth=5),
+                          "full gradient (product kernel, volume scene)"),
+        "perlin-fwd-bwd": ("perlin",
+                           dict(width=400, aspect=16 / 9, spp=25, depth=10),
+                           "full gradient (product kernel, marble)"),
+        "earth-fwd-bwd": ("earth",
+                          dict(width=400, aspect=16 / 9, spp=25, depth=10),
+                          "full gradient (XLA replay, image atlas)"),
     }
     for key, (sname, gcfg, note) in grad_cfgs.items():
         try:

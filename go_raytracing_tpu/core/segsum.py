@@ -5,18 +5,26 @@ conflicts or sortedness (DESIGN.md 7a scatter probes) — a [4M, 12] env
 texel cotangent scatter costs ~307 ms and dominates hdri-fwd-bwd.  This
 module reduces duplicate rows BEFORE scattering:
 
-    sort rows by bin id                  (~43 ms for 4M keys)
-    SEGMENTED pairwise sum scan          (resets at segment boundaries)
+    sort (id, row-index) pairs           (2-operand lax.sort)
+    one [R, C] row gather                (per-LOOKUP latency, ~6 ns/row)
+    SEGMENTED Hillis-Steele sum scan     (flat ceil(log2 R)-step graph,
+                                          per-COLUMN [R] arrays: no
+                                          C -> 128 lane padding in the
+                                          hot loop, CLAUDE rule 1)
     per-bin segment-end positions        (scalar bincount + int cumsum)
     one [n_bins, C] gather               (one lookup per bin)
 
-The round-4 attempt at this (global f32 cumsum + prefix differencing)
-was CLOSED for accuracy: ULP(global running total) >> small segment
-sums lost ~0.7% relative (DESIGN.md 7a).  The segmented scan has no
-such term — each segment's sum is built only from its own elements in a
-pairwise tree, so relative error is ~ULP * log2(segment length), and
-equivalence to the scatter-add oracle holds at f32 tolerance
-(tests/test_core.py::test_rows_segment_sum_*).
+Two designs were rejected on measurement:
+  * global f32 cumsum + prefix differencing (round 4, DESIGN.md 7a):
+    ULP(global running total) >> small segment sums lost ~0.7%
+    relative.  The SEGMENTED scan resets at boundaries, so each
+    segment's sum is built only from its own elements — no
+    cancellation, f32-exact (CPU f64-oracle check at full 4M scale:
+    max abs err 1.7e-6).
+  * jax.lax.associative_scan (first round-5 cut): its recursive
+    odd/even lowering took >25 min to compile through this machine's
+    remote XLA helper at 4M rows; the flat Hillis-Steele graph
+    compiles in ~15 s and runs no slower.
 """
 
 from __future__ import annotations
@@ -32,30 +40,49 @@ def rows_segment_sum(ids, rows, n_bins: int):
     Returns [n_bins, C] with out[b] = sum of rows[r] where ids[r] == b.
     Equivalent to ``zeros.at[ids].add(rows)`` (with out-of-range drop
     semantics) but pays per-UNIQUE-bin scatter cost instead of per-row.
+    Prefer :func:`cols_segment_sum` when the columns already exist as
+    separate [R] arrays (hot paths are component-SoA, CLAUDE rule 1).
     """
+    return cols_segment_sum(
+        ids, [rows[:, j] for j in range(rows.shape[1])], n_bins)
+
+
+def cols_segment_sum(ids, col_list, n_bins: int):
+    """Column-SoA variant of :func:`rows_segment_sum`: per-bin sums of
+    C separate [R] value columns, returned as [n_bins, C]."""
     r = ids.shape[0]
-    order = jnp.argsort(ids)
-    sid = ids[order]
-    srow = rows[order]
+    c = len(col_list)
+    # Values ride the sort as extra operands: measured 2-op 31 ms /
+    # 6-op 39 ms (~2 ms per operand) vs sort + [R,12] row gather at
+    # 122 ms — multi-operand lax.sort replaces the gather outright.
+    sorted_ops = jax.lax.sort(
+        (ids,) + tuple(col_list), num_keys=1)
+    sid = sorted_ops[0]
+    cols = list(sorted_ops[1:])
     flag = jnp.concatenate(
         [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
 
-    # Segmented inclusive sum scan: (v1,f1) op (v2,f2) =
-    # (v2 + v1 * !f2, f1 | f2) — associative; a set flag stops earlier
+    # Segmented inclusive Hillis-Steele scan: at step s,
+    # v[i] += v[i-s] unless a segment boundary lies in (i-s, i]
+    # (tracked by the OR-scanned flag) — a set flag stops earlier
     # values from flowing across the boundary.
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return bv + jnp.where(bf[..., None], 0.0, av), af | bf
+    f = flag
+    s = 1
+    while s < r:
+        fp = jnp.concatenate([jnp.ones((s,), bool), f[:-s]])
+        for j in range(c):
+            vp = jnp.concatenate(
+                [jnp.zeros((s,), cols[j].dtype), cols[j][:-s]])
+            cols[j] = cols[j] + jnp.where(f, 0.0, vp)
+        f = f | fp
+        s *= 2
 
-    vals, _ = jax.lax.associative_scan(op, (srow, flag), axis=0)
-
-    # Per-bin segment END position in the sorted order: ids < n_bins
-    # occupy the first sum(counts) slots, bin b ends at
+    # Per-bin segment END position in the sorted order: bin b ends at
     # cumsum(counts)[b] - 1.  bincount is a SCALAR scatter (~64 ms at
     # 4M — the one remaining per-row cost, 5x cheaper than row scatter).
     counts = jnp.zeros((n_bins + 1,), jnp.int32).at[
         jnp.minimum(sid, n_bins)].add(1)
     ends = jnp.cumsum(counts[:-1]) - 1
-    out = vals[jnp.maximum(ends, 0)]
+    endsc = jnp.maximum(ends, 0)
+    out = jnp.stack([col[endsc] for col in cols], axis=-1)
     return jnp.where((counts[:-1] > 0)[:, None], out, 0.0)

@@ -1105,9 +1105,11 @@ def _strip_image(scene: Scene) -> Scene:
     return dataclasses.replace(scene, textures=stripped, has_image=False)
 
 
-def _primary_image_factor(scene: Scene, o: V3, d: V3, tm) -> V3:
-    """Per-camera-ray image albedo at the primary sphere hit (1.0 on
-    miss).  Root selection/eps identical to the closest-hit sweep."""
+def _primary_image_records(scene: Scene, o: V3, d: V3, tm):
+    """Primary-hit image-albedo records for 'image' mega mode and its
+    gradient tier: (albedo V3 (1.0 on miss), flat atlas texel id [R]
+    i32 (nearest fetch, textures.evaluate semantics), hit mask [R]).
+    Root selection/eps identical to the closest-hit sweep."""
     r_ = o.x.shape[0]
     t_s, i_s, h_s = packs.intersect_spheres(
         scene.spheres, o.rows(), d.rows(), tm, vec.EPS_HIT,
@@ -1118,7 +1120,25 @@ def _primary_image_factor(scene: Scene, o: V3, d: V3, tm) -> V3:
     tex_id = fetch.rows_fetch([scene.materials.tex], mat)[0]
     albedo = tex.evaluate(scene.textures, tex_id, uu, vv, p,
                           has_noise=False, has_image=True)
-    return V3.select(h_s, albedo, V3.full((r_,), (1.0, 1.0, 1.0)))
+    # nearest-texel flat id, mirroring textures.evaluate's image branch
+    pack = scene.textures
+    img = fetch.rows_fetch([pack.image_id], tex_id)[0]
+    w_, h_ = fetch.rows_fetch([pack.atlas_wh[:, 0], pack.atlas_wh[:, 1]],
+                              img)
+    uc = jnp.clip(uu, 0.0, 1.0)
+    vc = 1.0 - jnp.clip(vv, 0.0, 1.0)
+    xi = jnp.clip((uc * w_.astype(uu.dtype)).astype(jnp.int32), 0, w_ - 1)
+    yi = jnp.clip((vc * h_.astype(uu.dtype)).astype(jnp.int32), 0, h_ - 1)
+    _, hh, ww, _ = pack.atlas.shape
+    texel = (img * hh + yi) * ww + xi
+    return (V3.select(h_s, albedo, V3.full((r_,), (1.0, 1.0, 1.0))),
+            texel, h_s)
+
+
+def _primary_image_factor(scene: Scene, o: V3, d: V3, tm) -> V3:
+    """Per-camera-ray image albedo at the primary sphere hit (1.0 on
+    miss)."""
+    return _primary_image_records(scene, o, d, tm)[0]
 
 
 def choose_mega_mode(scene: Scene, cam, r: int, differentiable: bool) -> str:

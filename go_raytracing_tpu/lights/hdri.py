@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import vec
@@ -309,6 +310,47 @@ def sample_soa(env: Environment, d):
     c0 = c00 * (1.0 - fx) + c10 * fx
     c1 = c01 * (1.0 - fx) + c11 * fx
     return c0 * (1.0 - fy) + c1 * fy
+
+
+def miss_texel_grad(env: Environment, d, lam):
+    """Exact d<lam, sample_soa(env, d)>/d(env.data) WITHOUT the per-ray
+    row scatter.
+
+    The autodiff backward of :func:`sample_soa` is a [R, 12] scatter-add
+    into the quad table — ~75 ns per update row on TPU (~307 ms per 4M
+    chunk, the hdri-fwd-bwd wall; DESIGN.md 7a).  Here the bilinear
+    footprint cotangent rows are reduced per BASE TEXEL first
+    (core.segsum.rows_segment_sum: sort + segmented pairwise scan, no
+    global-prefix cancellation) and the resulting [H*W, 12] quad-table
+    cotangent is pushed through the quad_table transpose (jax.vjp —
+    slices/rolls, no scatter).  Matches jax.grad of
+    sum(lam * sample_soa) at f32 tolerance (tests/test_hdri.py).
+
+    d: V3 directions (dummy values fine where lam == 0).
+    lam: V3 per-ray radiance cotangent (zero on non-miss lanes).
+    """
+    from ..core.segsum import cols_segment_sum
+
+    h, w = env.data.shape[:2]
+    u, v = _direction_to_uv_soa(env, d)
+    px = u * w - 0.5
+    py = v * h - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = px - x0.astype(px.dtype)
+    fy = py - y0.astype(py.dtype)
+    x0w = jnp.mod(x0, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    fy = jnp.where(y0 < 0, 0.0, fy)  # sample_soa's top-edge collapse
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+    cols = [wgt * ch for wgt in (w00, w10, w01, w11)
+            for ch in (lam.x, lam.y, lam.z)]  # 12 x [R], component SoA
+    qcot = cols_segment_sum(y0c * w + x0w, cols, h * w)
+    _, vjp = jax.vjp(quad_table, env.data)
+    return vjp(qcot)[0]
 
 
 def pdf_soa(env: Environment, d):

@@ -35,9 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import rng as rngmod
+from ..core import vec as vec_consts
 from ..geometry import packs
 
-BIG = np.float32(3.0e38)
+BIG = packs.BIG  # one shared definition (geometry/packs.py)
 # Rays per grid step = BLOCK_ROWS * 128.  Smaller blocks cull finer (the
 # sphere-segment test and the early block-exit are per block) but pay
 # more grid steps; 32 measured best on cornell, see choose_mega_mode
@@ -53,7 +54,11 @@ BLOCK_ROWS = int(_os.environ.get("GRT_MEGA_BLOCK_ROWS", "32"))
 # chunk), and the sweep loop dominates so the extra grid steps are noise.
 SPH_BLOCK_ROWS = int(_os.environ.get("GRT_MEGA_SPH_BLOCK_ROWS", "8"))
 LANES = 128
-EPS_HIT = np.float32(1e-3)
+# Shared with the XLA oracle sweeps (core/vec.py EPS_HIT): ADVICE r4 —
+# render/grad.py 'image' mega mode re-derives the primary hit with
+# packs.intersect_spheres at vec.EPS_HIT and relies on root-selection
+# identity; one definition keeps eps drift impossible.
+EPS_HIT = np.float32(vec_consts.EPS_HIT)
 EPS_PARALLEL = np.float32(1e-8)
 FIREFLY = np.float32(20.0)
 
@@ -265,7 +270,8 @@ def _pcg3d(x, y, z):
 def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 max_depth, resume=False, use_hdri=False, rec_dec=False,
                 grad_mode=False, n_tex=0, miss_cfg=("flat", 0.0, 0.0, 0.0),
-                sph_seg=None, has_noise=False, pathwise=False, n_mat=0):
+                sph_seg=None, has_noise=False, pathwise=False, n_mat=0,
+                phase="both"):
     sph_seg = SPH_SEG if sph_seg is None else sph_seg
     has_extra = has_checker or has_noise  # stream even/odd/scale attrs
     use_nee = n_lights > 0
@@ -294,6 +300,30 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
              *hdri_refs,
              ox, oy, oz, dx, dy, dz, tmr, stream_ref,
              rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl, dref) = refs
+        elif grad_mode and phase == "fwd":
+            # TWO-PHASE pass A (round 5): the gradient forward alone —
+            # radiance rows out (they ARE the framebuffer contribution:
+            # same code as the fused kernel's forward), the per-bounce
+            # stash written to HBM OUTPUTS instead of VMEM scratch, and
+            # the miss color rows out (the product reverse consumes
+            # them; the pathwise reverse recomputes mc from stashed
+            # din).  No cotangent inputs, no reverse.
+            (pt, st, sb, vt, lt,
+             ox, oy, oz, dx, dy, dz, tmr, stream_ref,
+             rr, rg, rb, mcx, mcy, mcz, stash_f, stash_i) = refs
+            hdri_refs, env_refs = [], []
+            eout = gout = gacc = None
+        elif grad_mode and phase == "rev":
+            # TWO-PHASE pass B: the reverse sweep alone, reading the
+            # pass-A stash from HBM inputs.  Needs only the tables
+            # (NEE / volume-window recompute), the stream ids (RNG
+            # recompute), the loss cotangent rows, and — for the
+            # product reverse — the pass-A miss color rows.
+            (pt, st, sb, vt, lt,
+             stream_ref, gxr, gyr, gzr, mcx, mcy, mcz,
+             stash_f, stash_i, gout, gacc) = refs
+            hdri_refs, env_refs = [], []
+            eout = None
         elif grad_mode:
             # Gradient variant (see DESIGN.md "gradient megakernel"):
             # inputs add the per-ray loss cotangent rows g (= dL/d(rad));
@@ -325,11 +355,16 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
              *hdri_refs,
              ox, oy, oz, dx, dy, dz, tmr, stream_ref,
              rr, rg, rb, mdx, mdy, mdz, mtr, mtg, mtb, mfl) = refs
-        o = [ox[...], oy[...], oz[...]]
-        d = [dx[...], dy[...], dz[...]]
-        tm = tmr[...]
+        rev_only = grad_mode and phase == "rev"
+        if rev_only:
+            o = d = tm = None
+            zero = gxr[...] * 0.0
+        else:
+            o = [ox[...], oy[...], oz[...]]
+            d = [dx[...], dy[...], dz[...]]
+            tm = tmr[...]
+            zero = o[0] * 0.0
         stream = stream_ref[...]
-        zero = o[0] * 0.0
         zero_u = stream & np.uint32(0)
         true_v = zero >= 0.0
         false_v = zero < 0.0
@@ -364,6 +399,76 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
 
         def dot3(a, b):
             return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        if has_noise:
+            # In-kernel marble noise (textures.evaluate noise branch):
+            # PCG3D-ish hashed lattice gradients — pure VPU math, exact
+            # same arithmetic as textures._lattice_grad, so images match
+            # the standard integrator bit-for-ulp.  Shared by the
+            # forward bounce body and the pathwise reverse's ∂marble/∂p.
+            def lattice_grad(li, lj, lk):
+                hx = li.astype(jnp.uint32) * _M + _A
+                hy = lj.astype(jnp.uint32) * _M + _A
+                hz = lk.astype(jnp.uint32) * _M + _A
+                hx = hx + hy * hz
+                hy = hy + hz * hx
+                hz = hz + hx * hy
+                hx = hx ^ (hx >> np.uint32(16))
+                hy = hy ^ (hy >> np.uint32(16))
+                hz = hz ^ (hz >> np.uint32(16))
+                hx = hx + hy * hz
+                hy = hy + hz * hx
+                hz = hz + hx * hy
+
+                def cube(vv):
+                    return 2.0 * ((vv >> np.uint32(8)).astype(
+                        jnp.int32).astype(jnp.float32) * f24) - 1.0
+
+                gx, gy, gz = cube(hx), cube(hy), cube(hz)
+                ginv = 1.0 / jnp.sqrt(
+                    jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-12))
+                return gx * ginv, gy * ginv, gz * ginv
+
+            def noise1(px, py, pz, zero, with_grad=False):
+                """Trilinear hashed-gradient noise; with_grad also
+                returns the analytic (d/dpx, d/dpy, d/dpz) — the
+                ∂marble/∂p building block (product rule over the 8
+                corner weights wu*wv*ww times g.(frac-corner))."""
+                fxx = jnp.floor(px)
+                fyy = jnp.floor(py)
+                fzz = jnp.floor(pz)
+                uu2 = px - fxx
+                vv2 = py - fyy
+                ww2 = pz - fzz
+                i0 = fxx.astype(jnp.int32)
+                j0 = fyy.astype(jnp.int32)
+                k0 = fzz.astype(jnp.int32)
+                acc = zero * 1.0
+                dx_ = dy_ = dz_ = zero * 1.0
+                for di in range(2):
+                    for dj in range(2):
+                        for dk in range(2):
+                            gx, gy, gz = lattice_grad(
+                                i0 + di, j0 + dj, k0 + dk)
+                            dtt = (gx * (uu2 - di) + gy * (vv2 - dj)
+                                   + gz * (ww2 - dk))
+                            wu = di * uu2 + (1 - di) * (1.0 - uu2)
+                            wv = dj * vv2 + (1 - dj) * (1.0 - vv2)
+                            ww_ = dk * ww2 + (1 - dk) * (1.0 - ww2)
+                            acc = acc + wu * wv * ww_ * dtt
+                            if with_grad:
+                                su = float(2 * di - 1)
+                                sv = float(2 * dj - 1)
+                                sw = float(2 * dk - 1)
+                                dx_ = dx_ + (su * wv * ww_ * dtt
+                                             + wu * wv * ww_ * gx)
+                                dy_ = dy_ + (wu * sv * ww_ * dtt
+                                             + wu * wv * ww_ * gy)
+                                dz_ = dz_ + (wu * wv * sw * dtt
+                                             + wu * wv * ww_ * gz)
+                if with_grad:
+                    return acc, dx_, dy_, dz_
+                return acc
 
         # attribute slots (merged winner constants)
         N_GEO = 7   # pn(3) sc(3) rad2
@@ -572,6 +677,51 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 far = jnp.minimum(far, jnp.maximum(ta, tb))
             return near, far
 
+        def volume_entry(o, d, vi):
+            """Entry-slab data for the PATHWISE volume adjoint: (near,
+            ne[3] world row, inv_e, act_e) where near = max_i min(ta, tb)
+            (volume_window's entry distance) and ne is the w2l row of the
+            winning axis.  The scatter distance t = max(near, eps) + K/|d|
+            (K RNG-only), so dt/do = -ne * inv_e, dt/dd = -near * ne *
+            inv_e * act_e — the same implicit rule as a planar surface
+            with the slab plane as the surface (mirrors jax.grad through
+            wavefront._winner_t's volume branch op-for-op, incl. the
+            |dl| < 1e-12 'safe' gating)."""
+            olc, dlc = [], []
+            for i in range(3):
+                oli = (vt[4 * i + 0, vi] * o[0] + vt[4 * i + 1, vi] * o[1]
+                       + vt[4 * i + 2, vi] * o[2] + vt[4 * i + 3, vi])
+                dli = (vt[4 * i + 0, vi] * d[0] + vt[4 * i + 1, vi] * d[1]
+                       + vt[4 * i + 2, vi] * d[2])
+                olc.append(oli)
+                dlc.append(dli)
+            tmins, invs, acts = [], [], []
+            near = zero - BIG
+            for i in range(3):
+                dli = dlc[i]
+                act = jnp.abs(dli) >= 1e-12
+                safe = jnp.where(act, dli,
+                                 jnp.where(dli < 0, -1e-12, 1e-12))
+                inv = 1.0 / safe
+                ta = (vt[12 + i, vi] - olc[i]) * inv
+                tb = (vt[15 + i, vi] - olc[i]) * inv
+                tmins.append(jnp.minimum(ta, tb))
+                invs.append(inv)
+                acts.append(act)
+                near = jnp.maximum(near, tmins[i])
+            ne = [zero * 1.0 for _ in range(3)]
+            inv_e = zero * 1.0
+            act_e = zero * 1.0
+            chosen = false_v
+            for i in range(3):
+                wsel = ~chosen & (tmins[i] == near)
+                for c in range(3):
+                    ne[c] = jnp.where(wsel, vt[4 * i + c, vi] + zero, ne[c])
+                inv_e = jnp.where(wsel, invs[i], inv_e)
+                act_e = jnp.where(wsel & acts[i], zero + 1.0, act_e)
+                chosen = chosen | wsel
+            return near, ne, inv_e, act_e
+
         def volume_scatter(o, d, t_cap, vi, u):
             near, far = volume_window(o, d, vi)
             crosses = far > near
@@ -628,6 +778,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             hit = (hitk > 0) & alive
 
             is_vol = false_v
+            vwin = (zero_u & np.uint32(0)).astype(jnp.int32)
             for vi in range(n_vol):
                 u = uniform3_dynp(bounce_u, np.uint32(64 + 32 * vi))
                 t_limit = jnp.where(hit, t, zero + BIG)
@@ -636,6 +787,7 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 t = jnp.where(win, t_v, t)
                 hit = hit | win
                 is_vol = is_vol | win
+                vwin = jnp.where(win, vi, vwin)
                 hitk = jnp.where(win, 3, hitk)
                 if rec_dec:
                     hidx = jnp.where(win, vi, hidx)
@@ -648,7 +800,9 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 if grad_mode:
                     vals += [vt[24, vi] + zero]
                 if pathwise:
-                    vals += [zero]  # unreachable: pathwise gate is n_vol==0
+                    # no materials-table row: isotropic has no fuzz/ior,
+                    # so route the mat slot to the inert sentinel
+                    vals += [zero - 9.0]
                 attrs = [jnp.where(win, v, a_) for v, a_ in zip(vals, attrs)]
 
             lit = alive & ~hit
@@ -700,65 +854,15 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                                     zero)
             if has_noise:
                 # In-kernel marble (textures.evaluate noise branch):
-                # 0.5*(1+sin(scale*z + 10*turb(p*scale, 7))) with
-                # PCG3D-hashed lattice gradients — pure VPU math, exact
-                # same arithmetic as textures._lattice_grad, so images
-                # match the standard integrator bit-for-ulp.
+                # 0.5*(1+sin(scale*z + 10*turb(p*scale, 7))) via the
+                # kernel-scope hashed-lattice noise1.
                 nscale = attrs[N_GEO + 13]
-
-                def lattice_grad(li, lj, lk):
-                    hx = li.astype(jnp.uint32) * _M + _A
-                    hy = lj.astype(jnp.uint32) * _M + _A
-                    hz = lk.astype(jnp.uint32) * _M + _A
-                    hx = hx + hy * hz
-                    hy = hy + hz * hx
-                    hz = hz + hx * hy
-                    hx = hx ^ (hx >> np.uint32(16))
-                    hy = hy ^ (hy >> np.uint32(16))
-                    hz = hz ^ (hz >> np.uint32(16))
-                    hx = hx + hy * hz
-                    hy = hy + hz * hx
-                    hz = hz + hx * hy
-
-                    def cube(vv):
-                        return 2.0 * ((vv >> np.uint32(8)).astype(
-                            jnp.int32).astype(jnp.float32) * f24) - 1.0
-
-                    gx, gy, gz = cube(hx), cube(hy), cube(hz)
-                    ginv = 1.0 / jnp.sqrt(
-                        jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-12))
-                    return gx * ginv, gy * ginv, gz * ginv
-
-                def noise1(px, py, pz):
-                    fxx = jnp.floor(px)
-                    fyy = jnp.floor(py)
-                    fzz = jnp.floor(pz)
-                    uu2 = px - fxx
-                    vv2 = py - fyy
-                    ww2 = pz - fzz
-                    i0 = fxx.astype(jnp.int32)
-                    j0 = fyy.astype(jnp.int32)
-                    k0 = fzz.astype(jnp.int32)
-                    acc = zero * 1.0
-                    for di in range(2):
-                        for dj in range(2):
-                            for dk in range(2):
-                                gx, gy, gz = lattice_grad(
-                                    i0 + di, j0 + dj, k0 + dk)
-                                dtt = (gx * (uu2 - di) + gy * (vv2 - dj)
-                                       + gz * (ww2 - dk))
-                                wu = di * uu2 + (1 - di) * (1.0 - uu2)
-                                wv = dj * vv2 + (1 - dj) * (1.0 - vv2)
-                                ww_ = dk * ww2 + (1 - dk) * (1.0 - ww2)
-                                acc = acc + wu * wv * ww_ * dtt
-                    return acc
-
                 tacc = zero * 1.0
                 twt = 1.0
                 tpx, tpy, tpz = (p[0] * nscale, p[1] * nscale,
                                  p[2] * nscale)
                 for _oct in range(7):
-                    tacc = tacc + twt * noise1(tpx, tpy, tpz)
+                    tacc = tacc + twt * noise1(tpx, tpy, tpz, zero)
                     twt *= 0.5
                     tpx, tpy, tpz = tpx * 2.0, tpy * 2.0, tpz * 2.0
                 marble = 0.5 * (1.0 + jnp.sin(
@@ -830,6 +934,13 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 g_clamped = [false_v for _ in range(3)]
                 g_lslot = zero - 3.0
             if use_nee:
+                # LOCKSTEP INVARIANT: the clamp floors below (1e-20 dist
+                # / s2 / r, 1e-12 q) are re-derived OP-FOR-OP by the
+                # pathwise reverse's NEE recompute — change one without
+                # the other and gradients silently skew.  Safe against
+                # perf rule 14 (f32 underflow in jax.grad's division
+                # backward) because this kernel is never jax.grad'ed:
+                # the reverse sanitizes not-ok lanes before its partials.
                 up, _, _ = uniform3(bounce_u, rngmod.LIGHT_PICK)
                 li_f = jnp.minimum(jnp.floor(up * float(n_lights)),
                                    float(n_lights - 1))
@@ -941,9 +1052,15 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 stash_f[b_i, 17] = jnp.where(is_sphere & hit,
                                              flip * inv_rad, zero)
                 stash_f[b_i, 18] = t_rec
+                if has_noise:
+                    # marble winners: the reverse needs the texture
+                    # scale for the ∂marble/∂p lattice-gradient adjoint
+                    stash_f[b_i, 19] = attrs[N_GEO + 13]
                 # dielectric albedo never enters (atten = 1) and marble
-                # albedo has NO trainable-parameter dependence (grayscale
-                # 0.5*(1+sin), rt/perlin.go) — both route to slot -3
+                # albedo is parameter-free grayscale (0.5*(1+sin),
+                # rt/perlin.go) — both route to slot -3; marble's
+                # POSITION dependence is handled by the reverse sweep's
+                # ∂marble/∂p chain (mk bit 13)
                 slot = jnp.where(hit & ~is_die & (texkind != 2.0),
                                  tex_attr * 3.0 + variant, zero - 3.0)
                 stash_i[b_i, 0] = slot.astype(jnp.int32)
@@ -958,7 +1075,15 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                       | jnp.where(is_die & hit, 64, 0)
                       | jnp.where(hit, 128, 0)
                       | jnp.where(use_mis, 256, 0)
-                      | jnp.where(blk_h, 512, 0))
+                      | jnp.where(blk_h, 512, 0)
+                      # volume winner: bit 10 + its index in bits 11-12
+                      # (n_vol <= 4 by the applicable() gate) — the
+                      # reverse recomputes the entry window from
+                      # o = p - t*d and needs vi for the w2l rows
+                      | jnp.where(is_vol & hit, 1024, 0)
+                      | (jnp.where(is_vol & hit, vwin, 0) << 11)
+                      | jnp.where(hit & ~is_die & (texkind == 2.0),
+                                  8192, 0))
                 stash_i[b_i, 2] = mk
             elif grad_mode:
                 # Per-bounce stash for the in-kernel reverse sweep: with
@@ -1007,7 +1132,9 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             return (state[0] < bounce_end) & jnp.any(state[5] > 0.5)
 
         f1v = zero + 1.0
-        if resume:
+        if rev_only:
+            state = None
+        elif resume:
             flg = flgi[...]
             state = (
                 bounds_ref[0].astype(jnp.uint32),
@@ -1036,21 +1163,29 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             # must read as HIT_NONE (= 0), not garbage.
             for b in range(max_depth):
                 dref[b] = jnp.zeros_like(dref[b])
-        if grad_mode:
+        if grad_mode and not rev_only:
             # Early-exited blocks' unreached bounces must read as inert:
             # masks 0 (all cotangent terms vanish) and slots -3.
+            n_srows = (20 if has_noise else 19) if pathwise else 12
             for b in range(max_depth):
-                for rw in range(19 if pathwise else 12):
+                for rw in range(n_srows):
                     stash_f[b, rw] = zero * 1.0
                 stash_i[b, 0] = (zero_u & np.uint32(0)).astype(jnp.int32) - 3
                 stash_i[b, 1] = (zero_u & np.uint32(0)).astype(jnp.int32) - 9
                 stash_i[b, 2] = (zero_u & np.uint32(0)).astype(jnp.int32)
-        state = jax.lax.while_loop(cond, bounce_body, state)
-        (_, o, d, tp, rad, alive_f, allow_f, m_dir, m_tp, missed_f, m_prim_f) = state
-        missed = missed_f > 0.5
-        m_prim = m_prim_f > 0.5
+        if not rev_only:
+            state = jax.lax.while_loop(cond, bounce_body, state)
+            (_, o, d, tp, rad, alive_f, allow_f, m_dir, m_tp, missed_f,
+             m_prim_f) = state
+            missed = missed_f > 0.5
+            m_prim = m_prim_f > 0.5
 
-        if grad_mode:
+        if grad_mode and rev_only:
+            # pass B: the product reverse consumes the pass-A miss color
+            # rows (already lit-masked); the pathwise reverse recomputes
+            # mc from stashed din and ignores them.
+            miss_col = [mcx[...], mcy[...], mcz[...]]
+        elif grad_mode:
             # ---- miss radiance, in-kernel (the grad gate excludes env
             # maps; sky gradient / flat background are parameter-free
             # but enter the reverse recurrence through s_k at the lit
@@ -1075,7 +1210,13 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             rr[...] = rad[0]
             rg[...] = rad[1]
             rb[...] = rad[2]
+            if phase == "fwd":
+                mcx[...] = miss_col[0]
+                mcy[...] = miss_col[1]
+                mcz[...] = miss_col[2]
+                return
 
+        if grad_mode:
             if pathwise:
                 # ---- PATHWISE reverse sweep (metal/dielectric admitted).
                 # Carries three cotangent vectors through the bounces in
@@ -1133,7 +1274,9 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     ufr, _, _ = uniform3(bu, rngmod.FRESNEL)
 
                     # ---- NEE recompute (must mirror the forward block
-                    # op-for-op) + scale partials wrt (p, nrm)
+                    # op-for-op — LOCKSTEP INVARIANT: the 1e-20 / 1e-12
+                    # clamp floors here must equal the forward NEE
+                    # block's) + scale partials wrt (p, nrm)
                     em_su = [zero * 1.0 for _ in range(3)]
                     alb_su = [zero * 1.0 for _ in range(3)]
                     clampf = [zero * 1.0 for _ in range(3)]
@@ -1334,8 +1477,11 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                         (ud[2] + nv[2] * cos_t) * l_perp[2]
                     reflf = jnp.where(do_refl, zero + 1.0, zero)
                     dri = jnp.where(frontb, -1.0 / (io_ * io_), zero + 1.0)
-                    cot_ior = (Af * dief * (1.0 - reflf) * cot_ri * dri
-                               * jnp.where(io_ > 1e-3, zero + 1.0, zero))
+                    # dief (the stashed dielectric mask bit) is the inert-
+                    # lane gate; io_'s 1e-3 clamp is only NaN hygiene for
+                    # the 1/io_ above (ADVICE r4: a magnitude gate here
+                    # would silently zero a genuine tiny-IOR gradient)
+                    cot_ior = Af * dief * (1.0 - reflf) * cot_ri * dri
                     l_ud = [reflf * l_ud_r[c] + (1.0 - reflf) * l_ud_t[c]
                             for c in range(3)]
                     l_n_die = [reflf * l_n_r[c] + (1.0 - reflf) * l_n_t[c]
@@ -1354,6 +1500,44 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     cot_alb = [g[c] * T[c] * (emitf + em_su[c])
                                + ltp[c] * T[c] * Af for c in range(3)]
                     cot_lem = [g[c] * T[c] * alb_su[c] for c in range(3)]
+
+                    # ---- ∂marble/∂p (rt/noise.go:29-92, rt/texture.go:
+                    # 81-85): marble = .5(1 + sin(s*pz + 10|turb|)),
+                    # turb = Σ_o w_o noise1(p*s*2^o).  Grayscale: all
+                    # three albedo channels share the value, so its
+                    # position cotangent is (Σ_c cot_alb_c) * dm/dp,
+                    # injected into λ_p before the intersection backprop.
+                    lam_mrb = None
+                    if has_noise:
+                        marbf = jnp.where((mk & 8192) > 0, zero + 1.0,
+                                          zero)
+                        nsc = stash_f[k, 19]
+                        mtx, mty, mtz = (pv[0] * nsc, pv[1] * nsc,
+                                         pv[2] * nsc)
+                        tacc = zero * 1.0
+                        da = [zero * 1.0 for _ in range(3)]
+                        twt = 1.0
+                        osc = nsc * 1.0
+                        for _oct in range(7):
+                            nval, ndx, ndy, ndz = noise1(
+                                mtx, mty, mtz, zero, with_grad=True)
+                            tacc = tacc + twt * nval
+                            da[0] = da[0] + twt * osc * ndx
+                            da[1] = da[1] + twt * osc * ndy
+                            da[2] = da[2] + twt * osc * ndz
+                            twt *= 0.5
+                            osc = osc * 2.0
+                            mtx, mty, mtz = mtx * 2.0, mty * 2.0, mtz * 2.0
+                        arg = nsc * pv[2] + 10.0 * jnp.abs(tacc)
+                        sgn_t = jnp.where(tacc > 0.0, zero + 1.0,
+                                          jnp.where(tacc < 0.0,
+                                                    zero - 1.0, zero))
+                        half_cos = 0.5 * jnp.cos(arg)
+                        cotm = marbf * (cot_alb[0] + cot_alb[1]
+                                        + cot_alb[2]) * half_cos
+                        lam_mrb = [cotm * (10.0 * sgn_t * da[c]
+                                           + (nsc if c == 2 else 0.0))
+                                   for c in range(3)]
                     # miss color recompute (din IS the miss direction on
                     # lit lanes)
                     if miss_cfg[0] == "sky":
@@ -1388,14 +1572,55 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                     # ---- assemble λ_p / λ_n, backprop the intersection
                     lam_n = [l_n_s[c] + ln_nee[c] for c in range(3)]
                     lam_p = [Af * lo_[c] + lp_nee[c] + dndp * lam_n[c]
+                             + (lam_mrb[c] if lam_mrb is not None else 0.0)
                              for c in range(3)]
                     den = dot3(nv, din)
                     dsafe = jnp.where(jnp.abs(den) > 1e-20, den, zero + 1.0)
                     dlp = dot3(din, lam_p)
-                    bb = [hitf * (lam_p[c] - nv[c] * dlp / dsafe)
-                          for c in range(3)]
+                    bb_c = [lam_p[c] - nv[c] * dlp / dsafe for c in range(3)]
+                    ld_t = [tk * bb_c[c] for c in range(3)]
+                    if n_vol:
+                        # ---- volume scatter-distance adjoint
+                        # (rt/volume.go:34-79): t = max(near, eps) + K/|d|
+                        # with K RNG-only, so the position chain runs
+                        # through the entry SLAB plane (implicit rule with
+                        # ne = w2l row of the winning axis) plus the
+                        # free-flight |d| term.  Entry window recomputed
+                        # from o = p - t*d (cheaper than stashing, rule 10);
+                        # the winning volume's index lives in mk bits 11-12.
+                        volf = (mk & 1024) > 0
+                        vidx = (mk >> 11) & 3
+                        o_rec = [pv[c] - tk * din[c] for c in range(3)]
+                        near_v = zero * 1.0
+                        ne_v = [zero * 1.0 for _ in range(3)]
+                        inv_v = zero * 1.0
+                        act_v = zero * 1.0
+                        for vi in range(n_vol):
+                            vm = volf & (vidx == vi)
+                            nr, ne_, inv_e, act_e = volume_entry(
+                                o_rec, din, vi)
+                            near_v = jnp.where(vm, nr, near_v)
+                            for c in range(3):
+                                ne_v[c] = jnp.where(vm, ne_[c], ne_v[c])
+                            inv_v = jnp.where(vm, inv_e, inv_v)
+                            act_v = jnp.where(vm, act_e, act_v)
+                        # near < eps (origin inside): t0 clamps to the
+                        # constant eps, the slab term dies (matches the
+                        # jnp.maximum subgradient in _winner_t)
+                        ent = jnp.where(near_v >= EPS_HIT, zero + 1.0, zero)
+                        t0c_v = jnp.maximum(near_v, EPS_HIT)
+                        dl2v = jnp.maximum(dot3(din, din), 1e-20)
+                        for c in range(3):
+                            bvol = lam_p[c] - ent * ne_v[c] * inv_v * dlp
+                            lvol = (tk * lam_p[c]
+                                    - ent * act_v * near_v * ne_v[c]
+                                    * inv_v * dlp
+                                    - (tk - t0c_v) * din[c] * dlp / dl2v)
+                            bb_c[c] = jnp.where(volf, bvol, bb_c[c])
+                            ld_t[c] = jnp.where(volf, lvol, ld_t[c])
+                    bb = [hitf * bb_c[c] for c in range(3)]
                     lo_ = [(1.0 - Af) * lo_[c] + bb[c] for c in range(3)]
-                    ldv = [(1.0 - Af) * ldv[c] + l_din_s[c] + tk * bb[c]
+                    ldv = [(1.0 - Af) * ldv[c] + l_din_s[c] + hitf * ld_t[c]
                            + l_d_sky[c] for c in range(3)]
 
                     # ---- accumulate cotangent rows per parameter slot
@@ -1595,6 +1820,32 @@ def _call(pt, st, sb, vt, lt, seed, o, d, tm, stream, *, n_planar, n_sphere,
     return rad, m_dir, m_tp, missed, m_primary
 
 
+# Gradient-kernel VMEM stash budget: the per-block stash is
+# [max_depth, rows, block_rows, 128] f32 (+3 i32 rows).  Deep configs
+# (depth > 12) drop to 8-row blocks — finer grid, but the stash shrinks
+# 4x and every depth the reference ships (20 for hdri-test, 50 max)
+# fits; measured on-chip at depth 20/50 (scripts/depth_gate_probe.py).
+GRAD_STASH_BUDGET = int(_os.environ.get("GRT_GRAD_STASH_BUDGET",
+                                        8 << 20))
+GRAD_DEPTH_MAX = 50  # reverse sweep unrolls per bounce: compile bound
+
+
+def _grad_block_rows(scene, max_depth: int) -> int:
+    br = (SPH_BLOCK_ROWS
+          if scene.spheres.radius.shape[0] >= SPH_CULL_MIN else BLOCK_ROWS)
+    if max_depth > 12:
+        br = min(br, 8)
+    return br
+
+
+def _grad_stash_ok(scene, max_depth: int, pathwise: bool) -> bool:
+    if max_depth > GRAD_DEPTH_MAX:
+        return False
+    rows = ((20 if scene.has_noise else 19) if pathwise else 12) + 3
+    br = _grad_block_rows(scene, max_depth)
+    return max_depth * rows * br * LANES * 4 <= GRAD_STASH_BUDGET
+
+
 def grad_applicable(scene, max_depth: int) -> bool:
     """Static gate for the GRADIENT megakernel: on top of applicable(),
     every material's scatter DIRECTION must be parameter-independent
@@ -1613,7 +1864,7 @@ def grad_applicable(scene, max_depth: int) -> bool:
         return False
     if scene.env is not None and scene.n_lights > 0:
         return False  # NEE env texel scatter needs the pathwise kernel
-    if max_depth > 12:
+    if not _grad_stash_ok(scene, max_depth, pathwise=False):
         return False
     kinds = np.asarray(scene.materials.kind)
     if np.any((kinds == 1) | (kinds == 2)):   # metal / dielectric
@@ -1630,21 +1881,18 @@ def grad_pathwise_applicable(scene, max_depth: int) -> bool:
     round 4 — env + NEE quad lights (the per-bounce HDRI importance
     rows are streamed in, the per-bounce env texel COTANGENT rows are
     streamed back out, and the alias-picked texel scatter happens
-    XLA-side; see grad_megakernel).  Still excludes noise textures:
-    marble is parameter-FREE grayscale (the product kernel admits it,
-    round 4), but here positions are parameter-DEPENDENT and the
-    ∂marble/∂p term (7-octave lattice-gradient adjoint) is not in the
-    reverse sweep.  Also excludes volumes (the scatter-distance adjoint
-    through the boundary window is not implemented — all-diffuse volume
-    scenes take the cheaper product-chain kernel instead, see
-    grad_applicable)."""
+    XLA-side; see grad_megakernel).  Volumes are admitted (round 5):
+    the scatter-distance adjoint through the boundary window runs in
+    the reverse sweep (entry-slab implicit rule + free-flight |d| term,
+    rt/volume.go:34-79) — all-diffuse volume scenes still prefer the
+    cheaper product-chain kernel (grad_applicable wins the routing).
+    Noise textures are admitted too (round 5): marble is parameter-FREE
+    grayscale, but positions here are parameter-DEPENDENT, so the
+    reverse sweep carries the analytic ∂marble/∂p (7-octave
+    lattice-gradient adjoint, rt/noise.go:29-92) into λ_p."""
     if not applicable(scene):
         return False
-    if scene.has_noise:
-        return False
-    if scene.n_volumes:
-        return False
-    if max_depth > 12:
+    if not _grad_stash_ok(scene, max_depth, pathwise=True):
         return False
     n_tex = int(scene.textures.color.shape[0])
     n_mat = int(scene.materials.kind.shape[0])
@@ -1737,8 +1985,9 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
         + [jax.ShapeDtypeStruct((n_blocks * 8, LANES), jnp.float32)]
         + eout_shape,
         scratch_shapes=[
-            pltpu.VMEM((max_depth, 19 if pathwise else 12, block_rows,
-                        LANES), jnp.float32),
+            pltpu.VMEM((max_depth,
+                        (20 if has_noise else 19) if pathwise else 12,
+                        block_rows, LANES), jnp.float32),
             pltpu.VMEM((max_depth, 3, block_rows, LANES), jnp.int32),
             pltpu.VMEM((n_gacc, block_rows, LANES), jnp.float32),
         ],
@@ -1761,6 +2010,206 @@ def _call_grad(pt, st, sb, vt, lt, seed, o, d, tm, stream, gx, gy, gz, *,
     return rad, grads, mg[:, 0], mg[:, 1], cot_env
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
+                     "n_lights", "has_checker", "max_depth", "n_tex",
+                     "miss_cfg", "block_rows", "sph_seg", "pathwise",
+                     "n_mat", "has_noise"),
+)
+def _call_grad_fwd(pt, st, sb, vt, lt, seed, o, d, tm, stream, *,
+                   n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
+                   has_checker, max_depth, n_tex, miss_cfg,
+                   block_rows=BLOCK_ROWS, sph_seg=None, pathwise=False,
+                   n_mat=0, has_noise=False):
+    """TWO-PHASE pass A: gradient forward with the per-bounce stash
+    written to HBM.  Returns (rad rows x3, mc rows x3, stash_f
+    [D, S, rows, 128] f32, stash_i [D, 3, rows, 128] i32).  The rad
+    rows ARE the framebuffer contribution (same forward code as the
+    fused kernel), so callers skip the separate forward render."""
+    oc = [o.x, o.y, o.z]
+    dc = [d.x, d.y, d.z]
+    r = oc[0].shape[0]
+    block = block_rows * LANES
+    padded = -(-r // block) * block
+    rows = padded // LANES
+
+    def prep(a, dtype=jnp.float32):
+        if padded != r:
+            a = jnp.pad(a, (0, padded - r))
+        return a.reshape(rows, LANES).astype(dtype)
+
+    rays = [prep(a) for a in oc + dc + [tm]] + [prep(stream, jnp.uint32)]
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    n_srows = (20 if has_noise else 19) if pathwise else 12
+    sf_spec = pl.BlockSpec((max_depth, n_srows, block_rows, LANES),
+                           lambda i: (0, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    si_spec = pl.BlockSpec((max_depth, 3, block_rows, LANES),
+                           lambda i: (0, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
+                    has_checker, max_depth, grad_mode=True, n_tex=n_tex,
+                    miss_cfg=miss_cfg, sph_seg=sph_seg, pathwise=pathwise,
+                    n_mat=n_mat, has_noise=has_noise, phase="fwd"),
+        grid=grid,
+        in_specs=[smem] * 7 + [ray_spec] * 8,
+        out_specs=[out_spec] * 6 + [sf_spec, si_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((max_depth, n_srows, rows, LANES),
+                                jnp.float32),
+           jax.ShapeDtypeStruct((max_depth, 3, rows, LANES), jnp.int32)],
+        interpret=INTERPRET,
+    )(
+        jnp.asarray([n_planar, n_sphere], jnp.int32),
+        jnp.asarray([seed], jnp.uint32),
+        pt, st, sb, vt, lt, *rays,
+    )
+    rad = [x.reshape(-1)[:r] for x in outs[:3]]
+    return rad, outs[3:6], outs[6], outs[7]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_planar", "n_sphere", "n_sph_seg", "n_vol",
+                     "n_lights", "has_checker", "max_depth", "n_tex",
+                     "miss_cfg", "block_rows", "sph_seg", "pathwise",
+                     "n_mat", "has_noise"),
+    donate_argnames=("stash_f", "stash_i", "mc"),
+)
+def _call_grad_rev(pt, st, sb, vt, lt, seed, stream, gx, gy, gz,
+                   mc, stash_f, stash_i, *,
+                   n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
+                   has_checker, max_depth, n_tex, miss_cfg,
+                   block_rows=BLOCK_ROWS, sph_seg=None, pathwise=False,
+                   n_mat=0, has_noise=False):
+    """TWO-PHASE pass B: the reverse sweep alone against the pass-A
+    stash (donated — freed after this chunk).  Returns the same grads
+    layout as _call_grad."""
+    r = stream.shape[0]
+    block = block_rows * LANES
+    padded = -(-r // block) * block
+    rows = padded // LANES
+    assert stash_f.shape[2] == rows, "stash/ray shape mismatch"
+
+    def prep(a, dtype=jnp.float32):
+        if padded != r:
+            a = jnp.pad(a, (0, padded - r))
+        return a.reshape(rows, LANES).astype(dtype)
+
+    grid = (rows // block_rows,)
+    n_blocks = rows // block_rows
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    gout_spec = pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    n_srows = (20 if has_noise else 19) if pathwise else 12
+    sf_spec = pl.BlockSpec((max_depth, n_srows, block_rows, LANES),
+                           lambda i: (0, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    si_spec = pl.BlockSpec((max_depth, 3, block_rows, LANES),
+                           lambda i: (0, 0, i, 0),
+                           memory_space=pltpu.VMEM)
+    n_gacc = 9 * max(n_tex, 1) + (2 * n_mat if pathwise else 0)
+    assert n_gacc <= 8 * LANES, "parameter slots exceed the [8,128] gout"
+    outs = pl.pallas_call(
+        make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
+                    has_checker, max_depth, grad_mode=True, n_tex=n_tex,
+                    miss_cfg=miss_cfg, sph_seg=sph_seg, pathwise=pathwise,
+                    n_mat=n_mat, has_noise=has_noise, phase="rev"),
+        grid=grid,
+        in_specs=[smem] * 7 + [ray_spec] * 7 + [sf_spec, si_spec],
+        out_specs=[gout_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_blocks * 8, LANES),
+                                        jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n_gacc, block_rows, LANES), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(
+        jnp.asarray([n_planar, n_sphere], jnp.int32),
+        jnp.asarray([seed], jnp.uint32),
+        pt, st, sb, vt, lt,
+        prep(stream, jnp.uint32), prep(gx), prep(gy), prep(gz),
+        mc[0], mc[1], mc[2], stash_f, stash_i,
+    )
+    gsum = outs[0].reshape(n_blocks, 8 * LANES).sum(axis=0)
+    grads = gsum[: 9 * n_tex].reshape(n_tex, 3, 3)
+    if not pathwise:
+        return grads, None, None
+    mg = gsum[9 * n_tex: 9 * n_tex + 2 * n_mat].reshape(n_mat, 2)
+    return grads, mg[:, 0], mg[:, 1]
+
+
+def _grad_statics(scene, cam, pathwise):
+    pt, st, sb, vt, lt, n_planar, n_sphere, n_sph_seg, n_vol, n_lights = (
+        build_tables(scene, sph_seg=SPH_SEG)
+    )
+    n_tex = int(scene.textures.color.shape[0])
+    n_mat = int(scene.materials.kind.shape[0]) if pathwise else 0
+    statics = dict(
+        n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
+        n_vol=n_vol, n_lights=n_lights,
+        has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),
+        block_rows=_grad_block_rows(scene, int(cam.max_depth)),
+        sph_seg=SPH_SEG, n_tex=n_tex, n_mat=n_mat,
+        has_noise=bool(scene.has_noise), pathwise=pathwise,
+    )
+    if cam.use_sky_gradient:
+        miss_cfg = ("sky", 0.0, 0.0, 0.0)
+    else:
+        bg = tuple(float(x) for x in np.asarray(cam.background).reshape(3))
+        miss_cfg = ("flat",) + bg
+    return (pt, st, sb, vt, lt), statics, miss_cfg
+
+
+def grad_two_phase_ok(scene, max_depth: int) -> bool:
+    """Two-phase (stash-to-HBM) eligibility: a non-env kernel-tier
+    scene (env scenes need the miss-record prepass + streamed rows —
+    their fwd is already shared, so two-phase buys less; not wired)."""
+    return scene.env is None and (
+        grad_applicable(scene, max_depth)
+        or grad_pathwise_applicable(scene, max_depth))
+
+
+def grad_fwd_stash(scene, cam, o, d, tm, stream, seed, pathwise=False):
+    """TWO-PHASE pass A for one chunk: returns (rad V3 — the chunk's
+    framebuffer rows, carry tuple for grad_rev_stash).  The forward is
+    the SAME code as the fused gradient kernel's forward, so fb is
+    bit-identical to the plain render and pass B needs no re-trace."""
+    from ..core.vec3 import V3
+
+    tables, statics, miss_cfg = _grad_statics(scene, cam, pathwise)
+    sg = jax.lax.stop_gradient
+    rad, mc, sf, si = _call_grad_fwd(
+        *tables, seed, sg(o), sg(d), sg(tm), stream,
+        miss_cfg=miss_cfg, **statics)
+    return V3(*rad), (mc, sf, si)
+
+
+def grad_rev_stash(scene, cam, stream, seed, g3, carry, pathwise=False):
+    """TWO-PHASE pass B for one chunk: reverse sweep against the pass-A
+    stash (donated).  Returns the same grads dict as grad_megakernel."""
+    tables, statics, miss_cfg = _grad_statics(scene, cam, pathwise)
+    mc, sf, si = carry
+    grads, gfuzz, gior = _call_grad_rev(
+        *tables, seed, stream, g3[0], g3[1], g3[2], mc, sf, si,
+        miss_cfg=miss_cfg, **statics)
+    gdict = dict(color=grads[:, 0], even_color=grads[:, 1],
+                 odd_color=grads[:, 2])
+    if pathwise:
+        gdict["fuzz"] = gfuzz
+        gdict["ior"] = gior
+    return gdict
+
+
 def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
                     pathwise=False):
     """Run the gradient megakernel for one ray chunk (see grad_applicable
@@ -1777,7 +2226,9 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
         n_planar=n_planar, n_sphere=n_sphere, n_sph_seg=n_sph_seg,
         n_vol=n_vol, n_lights=n_lights,
         has_checker=bool(scene.has_checker), max_depth=int(cam.max_depth),
-        block_rows=SPH_BLOCK_ROWS if n_sph_seg else BLOCK_ROWS,
+        # deep configs (depth > 12) drop to 8-row blocks so the
+        # per-block VMEM stash stays inside GRAD_STASH_BUDGET
+        block_rows=_grad_block_rows(scene, int(cam.max_depth)),
         sph_seg=SPH_SEG,
     )
 
@@ -1843,8 +2294,25 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
                     jnp.where(missed, g3[c] * tpv * colv, 0.0))
             return tot
 
-        env_grad, lmd = jax.grad(miss_loss, argnums=(0, 1))(
-            scene.env.data, tuple(safe))
+        if _os.environ.get("GRT_ENV_SCATTER") == "xla":
+            # A/B fallback: autodiff texel scatter ([R,12] rows at
+            # ~75 ns/row — the round-4 hdri-fwd-bwd wall, DESIGN 7a).
+            env_grad, lmd = jax.grad(miss_loss, argnums=(0, 1))(
+                scene.env.data, tuple(safe))
+        else:
+            # λ_mdir via autodiff (its backward has no scatter — the
+            # texel cotangent is DCE'd), texel grads via the exact
+            # sorted segment-sum (hdri.miss_texel_grad): duplicate
+            # footprint rows collapse per base texel before the one
+            # [H*W, 12]-row placement, ~2x cheaper per 4M chunk.
+            lmd = jax.grad(miss_loss, argnums=1)(
+                sg(scene.env.data), tuple(safe))
+            lam = V3(*(jnp.where(missed, g3[c] * tpv, 0.0)
+                       for c, tpv in enumerate((m_tp.x, m_tp.y, m_tp.z))))
+            if cam.phantom_hdri:
+                lam = V3.select(m_prim, V3.zeros(lam.x.shape), lam)
+            env_grad = hdri_mod.miss_texel_grad(
+                sg(scene.env), V3(*safe), lam)
         mc = mc_of(sg(scene.env.data), tuple(sg(x) for x in safe))
         env_rows = (sg(mc.x), sg(mc.y), sg(mc.z),
                     sg(lmd[0]), sg(lmd[1]), sg(lmd[2]))
@@ -1872,14 +2340,17 @@ def grad_megakernel(scene, cam, o, d, tm, stream, seed, g3,
         if cot_env is not None:
             # NEE env texel scatter: per (bounce, ray) cotangent rows at
             # the alias-picked texel (recomputed from the same RNG).
+            # rows_segment_sum collapses the [depth*R, 3] rows per texel
+            # before the placement — the raw scatter-add pays ~40-75 ns
+            # per ROW (DESIGN 7a), depth x chunk of them here.
+            from ..core.segsum import cols_segment_sum
+
             h, w = scene.env.data.shape[:2]
             idx = jnp.concatenate(hdri_xy)                 # [depth*R]
-            vals = jnp.stack(
-                [jnp.concatenate([cot_env[k * 3 + c]
-                                  for k in range(int(cam.max_depth))])
-                 for c in range(3)], axis=-1)              # [depth*R, 3]
-            nee_grad = jnp.zeros((h * w, 3), jnp.float32).at[idx].add(
-                vals).reshape(h, w, 3)
+            vals = [jnp.concatenate([cot_env[k * 3 + c]
+                                     for k in range(int(cam.max_depth))])
+                    for c in range(3)]                     # 3 x [depth*R]
+            nee_grad = cols_segment_sum(idx, vals, h * w).reshape(h, w, 3)
             env_grad = env_grad + nee_grad
     if env_grad is not None:
         gdict["env_data"] = env_grad

@@ -97,7 +97,7 @@ def _record_chunk(scene: Scene, cam: Camera, accum, ray_start, seed, *,
 
 def _grad_kernel_body(scene: Scene, cam: Camera, g_virt, ray_start,
                       seed, *, spp: int, chunk: int, max_depth: int,
-                      pathwise: bool = False):
+                      pathwise: bool = False, image: bool = False):
     """One chunk of the GRADIENT MEGAKERNEL path: the whole fwd+bwd of
     the bounce loop runs in one pallas kernel (ops/pallas_wavefront
     grad_mode — gate: pallas_wavefront.grad_applicable).  Returns the
@@ -122,21 +122,113 @@ def _grad_kernel_body(scene: Scene, cam: Camera, g_virt, ray_start,
                                           (reps, n_virt)).reshape(chunk), 0.0)
         for c in range(3)
     )
+    if image:
+        return _grad_image_tier(scene, cam2, o, d, tm, stream, seed, g3)
     _, grads = mega.grad_megakernel(scene, cam2, o, d, tm, stream, seed, g3,
                                     pathwise=pathwise)
     return grads
 
 
+def _grad_image_tier(scene: Scene, cam, o, d, tm, stream, seed, g3):
+    """IMAGE-PREFACTOR gradient tier (round 5): for image_prefactor_ok
+    scenes (rt/scenes.go:242-273 earth class) the radiance factorizes
+    EXACTLY as A ⊙ W — A = the image albedo at the primary sphere hit
+    (1.0 on miss; a convex sphere is never re-hit by its own scatter,
+    the same invariant the forward 'image' mega mode is tested on) and
+    W = the radiance of the texture-stripped WHITE scene.  So by the
+    product rule:
+      d<g, A⊙W>/d(white params) = product kernel with cotangent g⊙A,
+      d<g, A⊙W>/d(atlas)        = nearest-texel segment-sum of g⊙W
+                                  rows at the primary texel ids.
+    One product-chain megakernel launch + one rows_segment_sum replace
+    the ~10x-slower XLA replay backward (the last family that used it).
+    Equivalence vs replay: tests/test_grad_render.py."""
+    from ..core.segsum import cols_segment_sum
+    from ..core.vec3 import V3
+    from ..ops import pallas_wavefront as mega
+
+    white = wavefront._strip_image(scene)
+    A, texel, h_s = wavefront._primary_image_records(scene, o, d, tm)
+    ac = (A.x, A.y, A.z)
+    gW = tuple(g3[c] * ac[c] for c in range(3))
+    rad_w, grads = mega.grad_megakernel(white, cam, o, d, tm, stream,
+                                        seed, gW, pathwise=False)
+    # the stripped texture's solid-color slot is unused in the real
+    # scene (evaluate selects the texel): drop its cotangent
+    from ..materials import textures as tex
+
+    is_img = scene.textures.kind == tex.TEX_IMAGE
+    grads = dict(grads)
+    grads["color"] = jnp.where(is_img[:, None], 0.0, grads["color"])
+    wc = (rad_w.x, rad_w.y, rad_w.z)
+    n_texels = int(np.prod(scene.textures.atlas.shape[:3]))
+    cot_cols = [jnp.where(h_s, g3[c] * wc[c], 0.0) for c in range(3)]
+    ids = jnp.where(h_s, texel, n_texels)  # misses -> dropped
+    grads["atlas"] = cols_segment_sum(ids, cot_cols, n_texels).reshape(
+        scene.textures.atlas.shape)
+    return grads
+
+
 _grad_kernel_chunk = partial(jax.jit, static_argnames=(
-    "cam", "spp", "chunk", "max_depth", "pathwise"))(_grad_kernel_body)
+    "cam", "spp", "chunk", "max_depth", "pathwise",
+    "image"))(_grad_kernel_body)
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"))
+def _twophase_fwd_chunk(scene: Scene, cam: Camera, ray_start, seed, *,
+                        spp: int, chunk: int, max_depth: int,
+                        pathwise: bool):
+    """TWO-PHASE pass A for one chunk (round 5): the gradient forward
+    traces once, writing the per-bounce stash to HBM; its radiance IS
+    the chunk's framebuffer contribution (bit-identical forward code),
+    so the separate fb render disappears.  Returns ([n_virt, 3] partial
+    fb rows, opaque carry for _twophase_rev_chunk)."""
+    from ..ops import pallas_wavefront as mega
+
+    cam2, o, d, tm, stream, pixel, valid = _chunk_rays(
+        scene, cam, ray_start, seed, spp=spp, chunk=chunk,
+        max_depth=max_depth)
+    rad, carry = mega.grad_fwd_stash(scene, cam2, o, d, tm, stream, seed,
+                                     pathwise=pathwise)
+    rows = jnp.where(valid[:, None], rad.rows(), 0.0)
+    n_virt = rmod.ray_layout(cam.image_width, cam.image_height,
+                             rmod.scene_tiled(scene))[2]
+    assert chunk % n_virt == 0
+    return rows.reshape(chunk // n_virt, n_virt, 3).sum(axis=0), carry
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"),
+         donate_argnames=("carry",))
+def _twophase_rev_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
+                        seed, carry, *, spp: int, chunk: int,
+                        max_depth: int, pathwise: bool):
+    """TWO-PHASE pass B for one chunk: reverse sweep against the
+    donated pass-A stash; no re-trace, no sweeps."""
+    from ..ops import pallas_wavefront as mega
+
+    cam2, o, d, tm, stream, pixel, valid = _chunk_rays(
+        scene, cam, ray_start, seed, spp=spp, chunk=chunk,
+        max_depth=max_depth)
+    n_virt = g_virt.shape[0]
+    reps = chunk // n_virt
+    g3 = tuple(
+        jnp.where(valid, jnp.broadcast_to(g_virt[None, :, c],
+                                          (reps, n_virt)).reshape(chunk), 0.0)
+        for c in range(3)
+    )
+    return mega.grad_rev_stash(scene, cam2, stream, seed, g3, carry,
+                               pathwise=pathwise)
 
 
 @partial(jax.jit,
          static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise",
-                          "mesh"))
+                          "image", "mesh"))
 def _grad_kernel_chunk_sharded(scene: Scene, cam: Camera, g_virt, ray_start,
                                seed, *, mesh: Mesh, spp: int, chunk: int,
-                               max_depth: int, pathwise: bool = False):
+                               max_depth: int, pathwise: bool = False,
+                               image: bool = False):
     """Mesh-parallel gradient-megakernel chunk: the global ``chunk`` is
     split into contiguous per-device slices over Mesh('rays'); each
     device runs the gradient megakernel on its slice and the grads dict
@@ -155,7 +247,7 @@ def _grad_kernel_chunk_sharded(scene: Scene, cam: Camera, g_virt, ray_start,
     def run(scene_rep, g_virt_rep, start, seed_rep):
         g = _grad_kernel_body(scene_rep, cam, g_virt_rep, start[0], seed_rep,
                               spp=spp, chunk=per, max_depth=max_depth,
-                              pathwise=pathwise)
+                              pathwise=pathwise, image=image)
         return jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, RAY_AXIS), g)
 
@@ -177,6 +269,10 @@ def _fb_rows_body(scene: Scene, cam: Camera, ray_start, seed, *, spp: int,
                              rmod.scene_tiled(scene))[2]
     assert chunk % n_virt == 0
     return rows.reshape(chunk // n_virt, n_virt, 3).sum(axis=0)
+
+
+_fb_rows_chunk = partial(jax.jit, static_argnames=(
+    "cam", "spp", "chunk", "max_depth", "mega_mode"))(_fb_rows_body)
 
 
 @partial(jax.jit,
@@ -362,9 +458,12 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     # scenes ride the kernels too: miss-only env on either kernel (texel
     # scatter + λ_mdir streamed) and env + NEE lights on the pathwise
     # kernel (per-bounce importance rows in, texel cotangent rows out —
-    # see grad_megakernel); only noise textures, image scenes, and
-    # volume + specular combinations still replay.  ~10x the XLA replay
-    # backward; equivalence tested vs it.
+    # see grad_megakernel).  Round 5 admits volumes (scatter-distance
+    # adjoint) and noise (∂marble/∂p) to the pathwise kernel and gives
+    # image_prefactor_ok scenes their own tier (_grad_image_tier), so
+    # the replay fallback below serves only mesh scenes and
+    # out-of-gate combinations.  ~10x the XLA replay backward;
+    # equivalence tested vs it.
     from ..ops import pallas_wavefront as mega
 
     kern_ok = os.environ.get("GRT_NO_GRADKERNEL") != "1"
@@ -375,7 +474,27 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
     use_pathwise = (kern_ok and not use_product
                     and mega.grad_pathwise_applicable(scene, max_depth)
                     and os.environ.get("GRT_NO_PATHWISE") != "1")
-    if use_product or use_pathwise:
+    # IMAGE-PREFACTOR tier (round 5): earth-class scenes factor as
+    # A ⊙ W, so the white scene rides the product kernel and the atlas
+    # gets a nearest-texel segment-sum (see _grad_image_tier)
+    use_image = (kern_ok and not use_product and not use_pathwise
+                 and os.environ.get("GRT_NO_IMAGEGRAD") != "1"
+                 and wavefront.image_prefactor_ok(scene)
+                 and mega.grad_applicable(wavefront._strip_image(scene),
+                                          max_depth))
+    if use_product or use_pathwise or use_image:
+        # TWO-PHASE stash-resume (round 5): pass A = gradient forward
+        # once, stash to HBM, radiance -> framebuffer (the separate fb
+        # render disappears — it was ~45% of the headline wall); pass B
+        # = reverse-only against the stash.  Gated on the total stash
+        # fitting HBM alongside the working set.
+        n_srows = ((20 if scene.has_noise else 19) if use_pathwise
+                   else 12) + 3
+        two_phase = (mesh is None and not use_image
+                     and os.environ.get("GRT_NO_TWOPHASE") != "1")
+        if two_phase:
+            from ..ops import pallas_wavefront as mega
+            two_phase = mega.grad_two_phase_ok(scene, max_depth)
         # honor an explicit caller chunk (A/B experiments); otherwise 2x
         # the forward pick — the kernel path has no scan carries, and
         # fewer launches measured +5% on the cornell headline (41.8 ->
@@ -383,7 +502,7 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         # wall is texel-scatter-bound (chunk-size-neutral) and the
         # ragged 8.4M+0.7M split measured 5.4 -> 4.4 Mrays/s.
         pick = rmod.pick_chunk_size(scene)
-        if scene.env is None:
+        if scene.env is None and not two_phase:
             pick = 2 * pick
         kchunk = max(explicit_chunk if explicit_chunk is not None
                      else pick, 1024)
@@ -391,6 +510,78 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         # sample-aligned, and per-DEVICE-slice sample-aligned under a mesh
         align = n_virt * n_dev
         kchunk = max(kchunk // align, 1) * align
+        if two_phase:
+            # every chunk's stash is resident between the passes; jobs
+            # over budget stash a PREFIX of chunks and run the rest
+            # fused (each stashed chunk still saves one forward trace)
+            chunk_bytes = kchunk * max_depth * n_srows * 4
+            budget = int(float(os.environ.get("GRT_STASH_BUDGET", 9e9)))
+            n_stash = min(int(budget // max(chunk_bytes, 1)),
+                          -(-total // kchunk))
+            two_phase = n_stash > 0
+        if two_phase:
+            flat_vs = None
+            carries = []
+            pos = 0
+            while pos < total:
+                if len(carries) < n_stash:
+                    vs, carry = _twophase_fwd_chunk(
+                        scene, cam, jnp.uint32(pos), seed, spp=spp,
+                        chunk=kchunk, max_depth=max_depth,
+                        pathwise=use_pathwise)
+                else:
+                    # over budget: plain fast forward, fused fwd+bwd
+                    # in pass B (the pre-round-5 flow, per chunk)
+                    cam_d = dataclasses.replace(cam, max_depth=max_depth)
+                    vs = _fb_rows_chunk(
+                        scene, cam, jnp.uint32(pos), seed, spp=spp,
+                        chunk=kchunk, max_depth=max_depth,
+                        mega_mode=wavefront.choose_mega_mode(
+                            scene, cam_d, kchunk, False))
+                    carry = None
+                flat_vs = vs if flat_vs is None else flat_vs + vs
+                carries.append(carry)
+                pos += kchunk
+            tiled = rmod.scene_tiled(scene)
+            if tiled:
+                ids_v = jnp.arange(n_virt, dtype=jnp.uint32)
+                pxv, pyv, _ = rmod._id_to_pixel(ids_v, w, h, True)
+                pixv = jnp.minimum(
+                    (pyv * w + jnp.minimum(pxv, w - 1)).astype(jnp.uint32),
+                    w * h - 1)
+                fb = jnp.zeros((w * h, 3), jnp.float32).at[pixv].add(
+                    flat_vs).reshape(h, w, 3)
+            else:
+                fb = flat_vs.reshape(h, w, 3)
+            resid = fb / spp - target
+            loss = jnp.mean(resid * resid)
+            g_fb_flat = (2.0 / (n * spp)) * resid.reshape(w * h, 3)
+            if tiled:
+                g_virt = jnp.where(
+                    rmod._id_to_pixel(jnp.arange(n_virt, dtype=jnp.uint32),
+                                      w, h, True)[2][:, None],
+                    g_fb_flat[pixv], 0.0)
+            else:
+                g_virt = g_fb_flat
+            pos = 0
+            for i, carry in enumerate(carries):
+                if carry is None:  # over-budget chunk: fused fwd+bwd
+                    g = _grad_kernel_chunk(
+                        scene, cam, g_virt, jnp.uint32(pos), seed,
+                        spp=spp, chunk=kchunk, max_depth=max_depth,
+                        pathwise=use_pathwise, image=False)
+                else:
+                    g = _twophase_rev_chunk(
+                        scene, cam, g_virt, jnp.uint32(pos), seed, carry,
+                        spp=spp, chunk=kchunk, max_depth=max_depth,
+                        pathwise=use_pathwise)
+                    carries[i] = None  # stash freed (donated)
+                for k in g:
+                    grads[k] = grads[k] + g[k]
+                pos += kchunk
+            if stats is not None:
+                stats.chunks += len(carries)
+            return loss, grads
         if mesh is not None:
             fb = _fb_sharded(scene, cam, mesh, spp=spp, max_depth=max_depth,
                              seed=seed, chunk=kchunk)
@@ -417,12 +608,13 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
                 g = _grad_kernel_chunk_sharded(
                     scene, cam, g_virt, jnp.uint32(pos), seed, mesh=mesh,
                     spp=spp, chunk=kchunk, max_depth=max_depth,
-                    pathwise=use_pathwise)
+                    pathwise=use_pathwise, image=use_image)
             else:
                 g = _grad_kernel_chunk(scene, cam, g_virt, jnp.uint32(pos),
                                        seed, spp=spp, chunk=kchunk,
                                        max_depth=max_depth,
-                                       pathwise=use_pathwise)
+                                       pathwise=use_pathwise,
+                                       image=use_image)
             for k in g:
                 grads[k] = grads[k] + g[k]
             pos += kchunk

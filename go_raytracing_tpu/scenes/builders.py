@@ -316,7 +316,7 @@ LUCY_POSITIONS = [
 
 
 def cornell_box_lucy(n_instances: int = 10, mesh_detail=(48, 40),
-                     roughness: float = 0.0, mesh_kind: str = "lathe"):
+                     roughness=None, mesh_kind: str = "lathe"):
     """10 transformed instances of a shared mesh (rt/scenes.go:713-817).
 
     The reference's lucy_low.obj is a git-lfs stub in this checkout, so a
@@ -343,11 +343,13 @@ def cornell_box_lucy(n_instances: int = 10, mesh_detail=(48, 40),
     if os.path.isfile(path) and not obj_mod.is_lfs_stub(path):
         verts, tris = obj_mod.load_obj(path)
     elif mesh_kind == "statue":
+        # None -> per-kind default (0.0 IS a valid smooth statue)
         verts, tris = obj_mod.statue_standin(
-            mesh_detail[0], roughness=roughness if roughness else 0.3)
+            mesh_detail[0],
+            roughness=0.3 if roughness is None else roughness)
     else:
-        verts, tris = obj_mod.lucy_standin(*mesh_detail,
-                                           roughness=roughness)
+        verts, tris = obj_mod.lucy_standin(
+            *mesh_detail, roughness=0.0 if roughness is None else roughness)
     proto = b.mesh(verts, tris)
     for pos, rot in LUCY_POSITIONS[:n_instances]:
         xf = Affine.trs(scale=(0.15, 0.15, 0.15), rotation_deg=(0, rot, 0), position=pos)

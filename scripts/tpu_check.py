@@ -34,6 +34,10 @@ CASES = [
     ("cornell-lucy", 24, 2, 4),  # mesh kernel path on the real chip
     ("earth", 24, 2, 5),         # image-texture 'image' mega mode
     ("hdri-test", 24, 2, 5),     # env miss shader + specular chain
+    # round-5 coverage closes (VERDICT r4 #7):
+    ("random", 24, 2, 4),          # motion blur + 485-sphere ensemble
+    ("primitives", 24, 2, 4),      # pyramid / triangle / circle compounds
+    ("cornell-glossy", 24, 2, 5),  # metal+dielectric cornell
 ]
 
 
@@ -131,6 +135,99 @@ def grad_kernel_check():
                 ok=bool(rel_loss < 1e-5 and worst < 1e-3))
 
 
+def fd_specular_env_check():
+    """On-chip FD evidence for the remaining parameter classes (VERDICT
+    r4 #7): (a) one env TEXEL — the kernel-tier env gradient vs central
+    FD of the pixel loss (a VALID oracle here: radiance is linear in
+    texels, no visibility dependence, and both sides hold the
+    alias/pdf tables fixed); (b) one fuzz and (c) one IOR — FD is NOT a
+    gradient oracle for these (visibility-boundary jumps, DESIGN 7a),
+    so the on-chip contract is kernel-FD == XLA-FD: central differences
+    of the pathwise-kernel forward and the XLA differentiable forward
+    must agree (the gradients themselves are pinned kernel-vs-replay by
+    grad_kernel_check)."""
+    from go_raytracing_tpu.camera import generate_rays
+    from go_raytracing_tpu.integrator import wavefront
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+    from go_raytracing_tpu.parallel.sharding import (apply_params,
+                                                     trainable_params)
+    from go_raytracing_tpu.render.grad import render_grad
+
+    out = {}
+    # --- (a) env texel on hdri-test
+    scene, cam = grt.load_scene("hdri-test")
+    cam = dataclasses.replace(cam, image_width=96,
+                              samples_per_pixel=4, max_depth=5)
+    spp = 4
+    target = np.zeros((cam.image_height, cam.image_width, 3), np.float32)
+    _, gk = render_grad(scene, cam, target, spp=spp, seed=0)
+    genv = np.asarray(gk["env_data"])
+    y, x, c = np.unravel_index(int(np.abs(genv).argmax()), genv.shape)
+
+    def env_loss(delta):
+        env = scene.env._replace(
+            data=scene.env.data.at[int(y), int(x), int(c)].add(delta))
+        sc = dataclasses.replace(scene, env=env)
+        fb = np.asarray(grt.render(sc, cam, spp=spp, seed=0),
+                        dtype=np.float64)
+        r = fb / spp - target
+        return float((r * r).mean())
+
+    eps = 0.05
+    fd = (env_loss(eps) - env_loss(-eps)) / (2 * eps)
+    rel = abs(float(genv[y, x, c]) - fd) / max(abs(fd), 1e-12)
+    out["env_texel"] = dict(texel=[int(y), int(x), int(c)],
+                            grad=float(genv[y, x, c]), fd=fd,
+                            rel=round(rel, 6), ok=bool(rel < 0.02))
+    print(f"fd env texel ({y},{x},{c}): grad={genv[y, x, c]:.3e} "
+          f"fd={fd:.3e} rel={rel:.4f}", flush=True)
+
+    # --- (b, c) fuzz / IOR kernel-FD == XLA-FD on cornell-glossy
+    scene, cam = grt.load_scene("cornell-glossy")
+    cam = dataclasses.replace(cam, image_width=96, aspect_ratio=1.0,
+                              samples_per_pixel=2, max_depth=5)
+    n = cam.image_width * cam.image_height * 2
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    px = (ids % cam.image_width).astype(jnp.int32)
+    py = ((ids // cam.image_width) % cam.image_height).astype(jnp.int32)
+    o, d, tm = generate_rays(cam, px, py, ids, 0)
+    g = jnp.asarray(np.random.default_rng(3).uniform(size=(n, 3)) * 1e-3,
+                    jnp.float32)
+    assert mega.grad_pathwise_applicable(scene, cam.max_depth)
+
+    def loss_kernel(params):
+        s = apply_params(scene, params)
+        rad, _ = mega.grad_megakernel(
+            s, cam, o, d, tm, ids, 0, (g[:, 0], g[:, 1], g[:, 2]),
+            pathwise=True)
+        return float(jnp.sum(rad.rows() * g))
+
+    def loss_xla(params):
+        s = apply_params(scene, params)
+        rad = wavefront.trace(s, cam, o, d, tm, ids, 0,
+                              differentiable=True)
+        return float(jnp.sum(rad.rows() * g))
+
+    p0 = trainable_params(scene)
+    kinds = np.asarray(scene.materials.kind)
+    h = 2e-3
+    for key, mi in (("fuzz", int(np.nonzero(kinds == 1)[0][0])),
+                    ("ior", int(np.nonzero(kinds == 2)[0][0]))):
+        pp = dict(p0)
+        pp[key] = p0[key].at[mi].add(h)
+        pm = dict(p0)
+        pm[key] = p0[key].at[mi].add(-h)
+        fd_k = (loss_kernel(pp) - loss_kernel(pm)) / (2 * h)
+        fd_x = (loss_xla(pp) - loss_xla(pm)) / (2 * h)
+        rel = abs(fd_k - fd_x) / max(abs(fd_x), 1e-12)
+        out[key] = dict(mat=mi, fd_kernel=fd_k, fd_xla=fd_x,
+                        rel=round(rel, 6),
+                        ok=bool(abs(fd_x) > 1e-6 and rel < 5e-3))
+        print(f"fd {key}[{mi}]: kernel={fd_k:.5e} xla={fd_x:.5e} "
+              f"rel={rel:.5f}", flush=True)
+    return out
+
+
 def main():
     tag = sys.argv[1] if len(sys.argv) > 1 else "r02"
     assert jax.default_backend() == "tpu", "must run on the chip"
@@ -140,11 +237,13 @@ def main():
         goldens=golden_compare(),
         fd_gradcheck=fd_gradcheck(),
         grad_kernel=grad_kernel_check(),
+        fd_specular_env=fd_specular_env_check(),
     )
     result["all_ok"] = bool(
         all(v["ok"] for v in result["goldens"].values())
         and result["fd_gradcheck"]["ok"]
         and result["grad_kernel"]["ok"]
+        and all(v["ok"] for v in result["fd_specular_env"].values())
     )
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"TPU_CHECK_{tag}.json")

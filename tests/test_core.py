@@ -108,3 +108,42 @@ def test_perlin_soa_matches_rows():
     assert abs(rows_n.mean()) < 0.05
     assert rows_n.std() > 0.05
     assert (soa >= 0).all() and soa.std() > 0.05
+
+
+def test_rows_segment_sum_matches_scatter_oracle():
+    """Sorted segmented-scan bin sums == scatter-add, including heavy
+    duplication (the env texel cotangent profile), empty bins, and
+    out-of-range drop semantics (DESIGN.md 7a accuracy bar: the global-
+    cumsum variant lost 0.7% on small segments; this one must not)."""
+    from go_raytracing_tpu.core.segsum import rows_segment_sum
+
+    r = np.random.default_rng(0)
+    n_bins = 257
+    # heavy duplication: 80% of rows in 4 hot bins, rest uniform, some out of range
+    ids = np.where(
+        r.uniform(size=20_000) < 0.8,
+        r.choice([3, 50, 51, 200], size=20_000),
+        r.integers(0, n_bins + 40, size=20_000),
+    ).astype(np.int32)
+    rows = r.normal(size=(20_000, 12)).astype(np.float32)
+    # tiny-magnitude rows in a small bin next to a huge bin: the
+    # cancellation trap for prefix-differencing
+    rows[ids == 51] *= 1e-5
+    got = np.asarray(rows_segment_sum(jnp.asarray(ids), jnp.asarray(rows),
+                                      n_bins))
+    want = np.zeros((n_bins, 12), np.float64)
+    np.add.at(want, ids[ids < n_bins], rows[ids < n_bins].astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
+    # small-segment relative accuracy specifically
+    small = want[51]
+    np.testing.assert_allclose(got[51], small, rtol=1e-4)
+
+
+def test_rows_segment_sum_all_one_bin():
+    from go_raytracing_tpu.core.segsum import rows_segment_sum
+
+    rows = jnp.ones((4096, 3), jnp.float32)
+    ids = jnp.zeros((4096,), jnp.int32)
+    got = np.asarray(rows_segment_sum(ids, rows, 8))
+    assert got[0, 0] == 4096.0
+    assert np.all(got[1:] == 0.0)

@@ -30,6 +30,10 @@ CASES = [
     ("cornell-lucy", 24, 2, 4),
     ("earth", 24, 2, 5),       # image-texture 'image' mega mode
     ("hdri-test", 24, 2, 5),   # env miss shader + specular chain
+    # round-5 coverage closes (VERDICT r4 #7):
+    ("random", 24, 2, 4),          # motion blur + 485-sphere ensemble
+    ("primitives", 24, 2, 4),      # pyramid / triangle / circle compounds
+    ("cornell-glossy", 24, 2, 5),  # metal+dielectric cornell (pathwise)
 ]
 
 

@@ -314,3 +314,130 @@ def test_render_grad_routes_pathwise_and_matches():
                 atol=1e-8, err_msg=k)
     finally:
         mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
+
+
+def _mini_volume_glossy():
+    """Volume + specular miniature: the round-5 pathwise admission —
+    a constant-density box medium (rt/volume.go:34-79) whose scatter
+    DISTANCE depends on (o, d) through the entry slab and |d|, behind
+    and around metal/dielectric spheres, so fuzz/IOR gradients must
+    flow through the volume scatter-position chain."""
+    b = grt.SceneBuilder()
+    checker = b.lambertian(b.checker(0.5, (0.2, 0.3, 0.1), (0.9, 0.9, 0.8)))
+    gold = b.metal((0.8, 0.6, 0.2), fuzz=0.25)
+    glass = b.dielectric(1.5)
+    light = b.diffuse_light((13.0, 12.0, 11.0))
+    b.quad((-6, 0, -6), (12, 0, 0), (0, 0, 12), checker)   # floor
+    q = b.quad((-1.5, 7.9, -1.5), (3, 0, 0), (0, 0, 3), light)
+    b.add_light(q)
+    b.sphere((-1.8, 1.2, 0.0), 1.2, gold)
+    b.sphere((0.8, 1.0, 1.2), 1.0, glass)
+    b.volume_box((-4, 0.05, -4), (4, 4, 4), 0.18, (0.85, 0.9, 0.95))
+    scene = b.build()
+    cam = Camera(image_width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=4, look_from=(0, 3, 9), look_at=(0, 1.5, 0),
+                 vfov=45.0, background=(0.02, 0.01, 0.03))
+    return scene, cam
+
+
+def test_pathwise_volume_matches_autodiff():
+    """Volume scatter-distance adjoint (round 5): pathwise kernel ==
+    jax.grad on a volume + metal + dielectric scene (VERDICT r4 #4)."""
+    scene, cam = _mini_volume_glossy()
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        assert mega.grad_pathwise_applicable(scene, cam.max_depth)
+        assert not mega.grad_applicable(scene, cam.max_depth)
+        rad_k, rad_ref, gk, gx, _ = _kernel_and_autodiff(scene, cam)
+
+        np.testing.assert_allclose(
+            np.asarray(rad_k.rows()), np.asarray(rad_ref.rows()),
+            rtol=1e-4, atol=1e-5)
+
+        for k in ("color", "even_color", "odd_color", "fuzz", "ior"):
+            assert np.abs(np.asarray(gx[k])).max() > 1e-6, \
+                f"autodiff produced no {k} signal; test scene too weak"
+            np.testing.assert_allclose(
+                np.asarray(gk[k]), np.asarray(gx[k]), rtol=5e-3,
+                atol=3e-6, err_msg=k)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
+
+
+def _mini_noise_glossy():
+    """Noise + specular miniature: marble floor (7-octave turbulence,
+    rt/noise.go:29-92) seen directly AND through metal/dielectric, so
+    fuzz/IOR gradients must flow through ∂marble/∂p."""
+    b = grt.SceneBuilder()
+    marble = b.lambertian(b.noise(0.4))
+    gold = b.metal((0.8, 0.6, 0.2), fuzz=0.2)
+    glass = b.dielectric(1.5)
+    light = b.diffuse_light((13.0, 12.0, 11.0))
+    b.quad((-6, 0, -6), (12, 0, 0), (0, 0, 12), marble)    # marble floor
+    b.quad((-6, 0, -6), (0, 8, 0), (12, 0, 0),
+           b.lambertian((0.6, 0.65, 0.7)))                 # back wall
+    q = b.quad((-1.5, 7.9, -1.5), (3, 0, 0), (0, 0, 3), light)
+    b.add_light(q)
+    b.sphere((-1.8, 1.2, 0.0), 1.2, gold)
+    b.sphere((0.8, 1.0, 1.2), 1.0, glass)
+    b.sphere((2.5, 0.8, -1.0), 0.8, b.metal((0.9, 0.9, 0.9), 0.0))
+    scene = b.build()
+    # 10x smaller than the other minis: interpret-mode marble costs
+    # ~7 octaves x 8 corners x grad per (bounce, block) — full size
+    # blew a 15-min budget
+    cam = Camera(image_width=10, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=3, look_from=(0, 3, 9), look_at=(0, 1.5, 0),
+                 vfov=45.0, background=(0.02, 0.01, 0.03))
+    return scene, cam
+
+
+def test_pathwise_noise_matches_autodiff():
+    """∂marble/∂p adjoint (round 5): pathwise kernel == jax.grad on a
+    noise + metal + dielectric scene (VERDICT r4 #5)."""
+    scene, cam = _mini_noise_glossy()
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        assert scene.has_noise
+        assert mega.grad_pathwise_applicable(scene, cam.max_depth)
+        assert not mega.grad_applicable(scene, cam.max_depth)
+        rad_k, rad_ref, gk, gx, _ = _kernel_and_autodiff(scene, cam)
+
+        np.testing.assert_allclose(
+            np.asarray(rad_k.rows()), np.asarray(rad_ref.rows()),
+            rtol=1e-4, atol=1e-5)
+
+        for k in ("color", "fuzz", "ior"):
+            assert np.abs(np.asarray(gx[k])).max() > 1e-6, \
+                f"autodiff produced no {k} signal; test scene too weak"
+            np.testing.assert_allclose(
+                np.asarray(gk[k]), np.asarray(gx[k]), rtol=5e-3,
+                atol=3e-6, err_msg=k)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br
+
+
+def test_deep_depth_gate_lifted():
+    """Round 5 (VERDICT r4 #6): the gradient kernels admit the
+    reference's deep configs — depth > 12 drops to 8-row blocks so the
+    VMEM stash stays inside GRAD_STASH_BUDGET, up to GRAD_DEPTH_MAX.
+    GATE assertions only here: interpret-mode kernel equivalence at
+    depth 14+ needs a >1 h CPU-XLA compile of the unrolled reverse
+    (measured twice); the adjoint math is depth-invariant (same code
+    unrolled) and the ON-CHIP depth-20 kernel-vs-replay cross-check is
+    scripts/depth_gate_probe.py -> DEPTH_GATE.json."""
+    scene, cam = _mini_glossy()
+    old_br = mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        for depth in (13, 20, 50):
+            assert mega.grad_pathwise_applicable(scene, depth), depth
+            assert mega._grad_block_rows(scene, depth) == 8, depth
+        assert mega.grad_pathwise_applicable(scene, 12)
+        assert mega._grad_block_rows(scene, 12) == mega.BLOCK_ROWS
+        assert not mega.grad_pathwise_applicable(
+            scene, mega.GRAD_DEPTH_MAX + 1)
+        assert mega.grad_two_phase_ok(scene, 20)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = False, old_br

@@ -85,3 +85,100 @@ def test_render_grad_descends():
         scene = apply_params(scene, params)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_render_grad_image_tier_matches_direct():
+    """IMAGE-PREFACTOR gradient tier (round 5): earth-class scenes ride
+    the product kernel on the white scene + a nearest-texel segment-sum
+    for the atlas (render/grad._grad_image_tier) — loss and ALL grads
+    (atlas included) must match jax.grad of the differentiable path."""
+    from go_raytracing_tpu.integrator import wavefront
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0.1, 0.9, size=(8, 16, 3)).astype(np.float32)
+    b = grt.SceneBuilder()
+    b.sphere((0, 0, 0), 2.0, b.lambertian(b.image(img)))
+    scene = b.build()
+    cam = Camera(image_width=12, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=3, look_from=(0, 0, 8), look_at=(0, 0, 0),
+                 vfov=40.0, use_sky_gradient=True)
+    assert wavefront.image_prefactor_ok(scene)
+    spp = 4
+    target = np.asarray(grt.render(scene, cam, spp=spp, seed=9)) / spp * 0.8
+
+    old = mega.INTERPRET, mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        assert mega.grad_applicable(wavefront._strip_image(scene),
+                                    cam.max_depth)
+        loss_k, gk = render_grad(scene, cam, target, spp=spp, seed=0)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = old
+
+    def direct_loss(params):
+        s = apply_params(scene, params)
+        fb = grt.render(s, cam, spp=spp, seed=0, differentiable=True)
+        r = fb / spp - jnp.asarray(target)
+        return jnp.mean(r * r)
+
+    loss_d, gd = jax.value_and_grad(direct_loss)(trainable_params(scene))
+    np.testing.assert_allclose(float(loss_k), float(loss_d), rtol=1e-5)
+    assert np.abs(np.asarray(gd["atlas"])).max() > 1e-9, \
+        "direct grad produced no atlas signal; test scene too weak"
+    for k in gd:
+        np.testing.assert_allclose(
+            np.asarray(gk[k]), np.asarray(gd[k]), rtol=2e-4, atol=1e-8,
+            err_msg=k)
+
+
+def test_render_grad_two_phase_matches_fused():
+    """TWO-PHASE stash-resume (round 5) == the fused single-phase
+    kernel path: identical forward/reverse arithmetic with the stash
+    routed through HBM, on both the product tier (all-diffuse + sky)
+    and the pathwise tier (metal + dielectric)."""
+    import os
+
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    def build(glossy):
+        b = grt.SceneBuilder()
+        b.quad((-5, 0, -5), (10, 0, 0), (0, 0, 10),
+               b.lambertian(b.checker(0.8, (0.7, 0.3, 0.2), (0.2, 0.3, 0.7))))
+        if glossy:
+            b.sphere((0, 1, 0), 1.0, b.metal((0.8, 0.7, 0.6), 0.3))
+            b.sphere((-2, 0.7, 1), 0.7, b.dielectric(1.5))
+        else:
+            b.sphere((0, 1, 0), 1.0, b.lambertian((0.2, 0.6, 0.3)))
+        light = b.diffuse_light((5, 5, 5))
+        q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), light)
+        b.add_light(q)
+        return b.build()
+
+    cam = Camera(
+        image_width=8, aspect_ratio=1.0, samples_per_pixel=4, max_depth=3,
+        look_from=(0, 2, 6), look_at=(0, 1, 0), vfov=40.0,
+        use_sky_gradient=True,
+    )
+    old = mega.INTERPRET, mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        for glossy in (False, True):
+            scene = build(glossy)
+            assert mega.grad_two_phase_ok(scene, cam.max_depth)
+            target = np.asarray(grt.render(scene, cam, seed=9)) / 4 * 0.8
+            loss2, g2 = render_grad(scene, cam, target, spp=4, seed=0)
+            os.environ["GRT_NO_TWOPHASE"] = "1"
+            try:
+                loss1, g1 = render_grad(scene, cam, target, spp=4, seed=0)
+            finally:
+                del os.environ["GRT_NO_TWOPHASE"]
+            np.testing.assert_allclose(float(loss2), float(loss1),
+                                       rtol=1e-6)
+            assert set(g1) == set(g2)
+            for k in g1:
+                np.testing.assert_allclose(
+                    np.asarray(g2[k]), np.asarray(g1[k]), rtol=1e-5,
+                    atol=1e-9, err_msg=f"glossy={glossy}: {k}")
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = old

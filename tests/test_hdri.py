@@ -141,3 +141,33 @@ def test_real_hdri_asset_loads():
     img = hdr_io.load_hdr(path)
     assert img.shape == (512, 1024, 3)
     assert np.isfinite(img).all() and img.max() > 1.0  # HDR range
+
+
+def test_miss_texel_grad_matches_autodiff():
+    """The sorted segment-sum env texel gradient (hdri.miss_texel_grad)
+    == jax.grad through sample_soa's bilinear gather, on a hot-spot env
+    exercising wrap/clamp edges and heavy texel duplication."""
+    import jax
+    from go_raytracing_tpu.core.vec3 import V3
+
+    r = np.random.default_rng(1)
+    data = r.uniform(0.0, 1.0, size=(24, 48, 3)).astype(np.float32)
+    data[4, 7] = 900.0  # hot texel: big/small segment contrast
+    env = hdri.build_environment(data, rotation_degrees=30.0)
+
+    n = 4096
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[:512, 1] = np.abs(d[:512, 1]) * 40.0  # crowd the top edge (clamp)
+    lam_rows = (r.uniform(-1, 1, size=(n, 3)) *
+                (r.uniform(size=(n, 1)) < 0.7)).astype(np.float32)
+    dv = V3.from_rows(jnp.asarray(d))
+    lam = V3.from_rows(jnp.asarray(lam_rows))
+
+    def loss(env_data):
+        col = hdri.sample_soa(env._replace(data=env_data), dv)
+        return jnp.sum(lam.x * col.x + lam.y * col.y + lam.z * col.z)
+
+    want = np.asarray(jax.grad(loss)(env.data))
+    got = np.asarray(hdri.miss_texel_grad(env, dv, lam))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

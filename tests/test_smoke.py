@@ -96,9 +96,13 @@ def test_render_grad_routes_all_tiers():
     from go_raytracing_tpu.render.grad import render_grad
 
     cases = {
-        "cornell": (True, False),         # product-chain gate
+        # (grad_applicable, grad_pathwise_applicable); render_grad
+        # PREFERS product where both hold.  Round 5: volumes are
+        # admitted to the pathwise gate (scatter-distance adjoint), so
+        # cornell passes both and volume+metal rides pathwise.
+        "cornell": (True, True),          # product-chain preferred
         "cornell-glossy": (False, True),  # pathwise gate
-        "combined": (False, False),       # volume + metal -> replay
+        "combined": (False, True),        # volume + metal -> pathwise
     }
     old_br = mega.BLOCK_ROWS
     mega.INTERPRET, mega.BLOCK_ROWS = True, 8
@@ -112,9 +116,8 @@ def test_render_grad_routes_all_tiers():
                 q = b.quad((-1, 5, -1), (2, 0, 0), (0, 0, 2),
                            b.diffuse_light((6, 6, 6)))
                 b.add_light(q)
-                # a volume keeps this on the replay tier (the pathwise
-                # kernel excludes media; env + lights is admitted since
-                # round 4)
+                # volume + metal: the round-5 scatter-distance
+                # adjoint routes this through the pathwise kernel
                 b.volume_box((-3, 0, -3), (3, 2, 3), 0.05, (0.8, 0.8, 0.8))
                 scene = b.build()
                 _, cam = grt.load_scene("cornell")
