@@ -50,23 +50,35 @@ def rows_segment_sum(ids, rows, n_bins: int):
 def cols_segment_sum(ids, col_list, n_bins: int):
     """Column-SoA variant of :func:`rows_segment_sum`: per-bin sums of
     C separate [R] value columns, returned as [n_bins, C]."""
-    r = ids.shape[0]
-    c = len(col_list)
     # Values ride the sort as extra operands: measured 2-op 31 ms /
     # 6-op 39 ms (~2 ms per operand) vs sort + [R,12] row gather at
     # 122 ms — multi-operand lax.sort replaces the gather outright.
     sorted_ops = jax.lax.sort(
         (ids,) + tuple(col_list), num_keys=1)
-    sid = sorted_ops[0]
-    cols = list(sorted_ops[1:])
-    flag = jnp.concatenate(
-        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    return _scan_place(sorted_ops[0], list(sorted_ops[1:]), n_bins)
 
+
+def cols_segment_sum_factored(ids, carry_cols, expand, n_bins: int):
+    """Like :func:`cols_segment_sum` but sorts only a NARROW carry and
+    expands it to the scanned value columns AFTER the sort (sort cost
+    ~2 ms per operand at 4M): e.g. the env texel cotangent's 12
+    product columns (4 bilinear weights x 3 channels) ride as 5
+    primitives.  ``expand(*sorted_carry) -> list of value columns``
+    must be elementwise (permutation-equivariant)."""
+    sorted_ops = jax.lax.sort((ids,) + tuple(carry_cols), num_keys=1)
+    return _scan_place(sorted_ops[0], list(expand(*sorted_ops[1:])),
+                       n_bins)
+
+
+def _scan_place(sid, cols, n_bins: int):
+    r = sid.shape[0]
+    c = len(cols)
     # Segmented inclusive Hillis-Steele scan: at step s,
     # v[i] += v[i-s] unless a segment boundary lies in (i-s, i]
     # (tracked by the OR-scanned flag) — a set flag stops earlier
     # values from flowing across the boundary.
-    f = flag
+    f = jnp.concatenate(
+        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
     s = 1
     while s < r:
         fp = jnp.concatenate([jnp.ones((s,), bool), f[:-s]])

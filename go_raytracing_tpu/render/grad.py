@@ -510,6 +510,12 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         # sample-aligned, and per-DEVICE-slice sample-aligned under a mesh
         align = n_virt * n_dev
         kchunk = max(kchunk // align, 1) * align
+        if explicit_chunk is None:
+            # EQUALIZE chunks: a ragged tail (e.g. 4.19M + 4.19M + 0.62M
+            # on hdri-test) pays the per-launch fixed costs for a sliver
+            # of work; round the chunk UP so every launch is same-sized
+            nch = max(-(-total // kchunk), 1)
+            kchunk = -(-(-(-total // nch)) // align) * align
         if two_phase:
             # every chunk's stash is resident between the passes; jobs
             # over budget stash a PREFIX of chunks and run the rest
