@@ -227,7 +227,8 @@ def main_all():
                            "full gradient (product kernel, marble)"),
         "earth-fwd-bwd": ("earth",
                           dict(width=400, aspect=16 / 9, spp=25, depth=10),
-                          "full gradient (XLA replay, image atlas)"),
+                          "full gradient (image-prefactor tier: white "
+                          "product kernel + atlas segment-sum)"),
     }
     for key, (sname, gcfg, note) in grad_cfgs.items():
         try:
