@@ -277,17 +277,10 @@ def _direction_to_uv_soa(env: Environment, d):
     return u, v
 
 
-def sample_soa(env: Environment, d):
-    """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp,
-    rt/image_loader.go:399-431).
-
-    ONE [R, 12] row gather of the 2x2-footprint table fetches all four
-    texels: gathers are latency-bound per LOOKUP (~6 ns), so the previous
-    four [R, 3] row gathers cost ~102 ms per 4M-ray chunk
-    (scripts/slow_probe.py, hdri-test).  The table is derived from
-    env.data in-trace (quad_table) so texel gradients flow."""
-    from ..core.vec3 import V3
-
+def miss_footprint(env: Environment, d):
+    """(fx, fy, base texel id) of the bilinear miss fetch for V3
+    directions — the shared index math of sample_soa / miss_texel_grad
+    / the two-phase env carry (top-edge fy collapse included)."""
     h, w = env.data.shape[:2]
     u, v = _direction_to_uv_soa(env, d)
     px = u * w - 0.5
@@ -301,15 +294,35 @@ def sample_soa(env: Environment, d):
     # Top edge: y0 = -1 clamps BOTH bilinear rows to row 0, but the quad
     # at base row 0 holds rows (0, 1) — collapse the blend to row 0.
     fy = jnp.where(y0 < 0, 0.0, fy)
+    return fx, fy, y0c * w + x0w
 
-    q = quad_table(env.data)[y0c * w + x0w]  # [R, 12]: c00 c10 c01 c11
-    c00 = V3(q[:, 0], q[:, 1], q[:, 2])
-    c10 = V3(q[:, 3], q[:, 4], q[:, 5])
-    c01 = V3(q[:, 6], q[:, 7], q[:, 8])
-    c11 = V3(q[:, 9], q[:, 10], q[:, 11])
+
+def blend_quad(qcols, fx, fy):
+    """Bilinear blend of the 12 footprint columns (c00 c10 c01 c11 x
+    rgb) -> V3.  qcols: sequence of 12 [R] arrays (component SoA)."""
+    from ..core.vec3 import V3
+
+    c00 = V3(qcols[0], qcols[1], qcols[2])
+    c10 = V3(qcols[3], qcols[4], qcols[5])
+    c01 = V3(qcols[6], qcols[7], qcols[8])
+    c11 = V3(qcols[9], qcols[10], qcols[11])
     c0 = c00 * (1.0 - fx) + c10 * fx
     c1 = c01 * (1.0 - fx) + c11 * fx
     return c0 * (1.0 - fy) + c1 * fy
+
+
+def sample_soa(env: Environment, d):
+    """Miss-shader radiance for V3 directions (bilinear, h-wrap/v-clamp,
+    rt/image_loader.go:399-431).
+
+    ONE [R, 12] row gather of the 2x2-footprint table fetches all four
+    texels: gathers are latency-bound per LOOKUP (~6 ns), so the previous
+    four [R, 3] row gathers cost ~102 ms per 4M-ray chunk
+    (scripts/slow_probe.py, hdri-test).  The table is derived from
+    env.data in-trace (quad_table) so texel gradients flow."""
+    fx, fy, base = miss_footprint(env, d)
+    q = quad_table(env.data)[base]  # [R, 12]: c00 c10 c01 c11
+    return blend_quad([q[:, j] for j in range(12)], fx, fy)
 
 
 def miss_texel_grad(env: Environment, d, lam):
@@ -332,16 +345,8 @@ def miss_texel_grad(env: Environment, d, lam):
     from ..core.segsum import cols_segment_sum_factored
 
     h, w = env.data.shape[:2]
-    u, v = _direction_to_uv_soa(env, d)
-    px = u * w - 0.5
-    py = v * h - 0.5
-    x0 = jnp.floor(px).astype(jnp.int32)
-    y0 = jnp.floor(py).astype(jnp.int32)
-    fx = px - x0.astype(px.dtype)
-    fy = py - y0.astype(py.dtype)
-    x0w = jnp.mod(x0, w)
-    y0c = jnp.clip(y0, 0, h - 1)
-    fy = jnp.where(y0 < 0, 0.0, fy)  # sample_soa's top-edge collapse
+    fx, fy, base = miss_footprint(env, d)
+
     # the 12 product columns (4 bilinear weights x 3 channels) ride the
     # sort FACTORED as 5 primitives (~2 ms/operand, segsum.py)
     def expand(fx_, fy_, lx_, ly_, lz_):
@@ -353,7 +358,7 @@ def miss_texel_grad(env: Environment, d, lam):
                 for ch in (lx_, ly_, lz_)]
 
     qcot = cols_segment_sum_factored(
-        y0c * w + x0w, (fx, fy, lam.x, lam.y, lam.z), expand, h * w)
+        base, (fx, fy, lam.x, lam.y, lam.z), expand, h * w)
     _, vjp = jax.vjp(quad_table, env.data)
     return vjp(qcot)[0]
 

@@ -303,24 +303,30 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
         elif grad_mode and phase == "fwd":
             # TWO-PHASE pass A (round 5): the gradient forward alone —
             # radiance rows out (they ARE the framebuffer contribution:
-            # same code as the fused kernel's forward), the per-bounce
-            # stash written to HBM OUTPUTS instead of VMEM scratch, and
-            # the miss color rows out (the product reverse consumes
-            # them; the pathwise reverse recomputes mc from stashed
-            # din).  No cotangent inputs, no reverse.
+            # same code as the fused kernel's forward; env scenes get
+            # the miss term applied XLA-side from the miss records),
+            # the per-bounce stash written to HBM OUTPUTS instead of
+            # VMEM scratch, the miss color rows out (the product
+            # reverse consumes them), and the miss RECORDS out (env
+            # two-phase: XLA computes mc / λ_mdir / texel grads from
+            # them between the passes).  No cotangent inputs.
             (pt, st, sb, vt, lt,
              ox, oy, oz, dx, dy, dz, tmr, stream_ref,
-             rr, rg, rb, mcx, mcy, mcz, stash_f, stash_i) = refs
+             rr, rg, rb, mcx, mcy, mcz,
+             mdx, mdy, mdz, mtr, mtg, mtb, mfl,
+             stash_f, stash_i) = refs
             hdri_refs, env_refs = [], []
             eout = gout = gacc = None
         elif grad_mode and phase == "rev":
             # TWO-PHASE pass B: the reverse sweep alone, reading the
             # pass-A stash from HBM inputs.  Needs only the tables
             # (NEE / volume-window recompute), the stream ids (RNG
-            # recompute), the loss cotangent rows, and — for the
-            # product reverse — the pass-A miss color rows.
+            # recompute), the loss cotangent rows, the miss color rows
+            # (pass-A for flat/sky, XLA-computed for env "stream"), and
+            # — env scenes — the λ_mdir rows (zeros otherwise).
             (pt, st, sb, vt, lt,
              stream_ref, gxr, gyr, gzr, mcx, mcy, mcz,
+             lmdx, lmdy, lmdz,
              stash_f, stash_i, gout, gacc) = refs
             hdri_refs, env_refs = [], []
             eout = None
@@ -1181,10 +1187,10 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
             m_prim = m_prim_f > 0.5
 
         if grad_mode and rev_only:
-            # pass B: the product reverse consumes the pass-A miss color
-            # rows (already lit-masked); the pathwise reverse recomputes
-            # mc from stashed din and ignores them.
+            # pass B: miss color rows (pass-A for flat/sky, XLA env
+            # fetch for "stream") + λ_mdir rows (env only, else zeros)
             miss_col = [mcx[...], mcy[...], mcz[...]]
+            lmd_in = [lmdx[...], lmdy[...], lmdz[...]]
         elif grad_mode:
             # ---- miss radiance, in-kernel (the grad gate excludes env
             # maps; sky gradient / flat background are parameter-free
@@ -1198,8 +1204,14 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                             (1.0 - aa) + aa * 0.7,
                             (1.0 - aa) + aa * 1.0]
             elif miss_cfg[0] == "stream":
-                (eref,) = env_refs
-                miss_col = [eref[c] + zero for c in range(3)]
+                if phase == "fwd":
+                    # env two-phase: the env miss term is applied
+                    # XLA-side from the miss records; rad stays
+                    # env-less here
+                    miss_col = [zero * 1.0 for _ in range(3)]
+                else:
+                    (eref,) = env_refs
+                    miss_col = [eref[c] + zero for c in range(3)]
             else:
                 miss_col = [zero + np.float32(miss_cfg[1 + c])
                             for c in range(3)]
@@ -1214,6 +1226,18 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                 mcx[...] = miss_col[0]
                 mcy[...] = miss_col[1]
                 mcz[...] = miss_col[2]
+                mdx[...] = m_dir[0]
+                mdy[...] = m_dir[1]
+                mdz[...] = m_dir[2]
+                mtr[...] = m_tp[0]
+                mtg[...] = m_tp[1]
+                mtb[...] = m_tp[2]
+                mfl[...] = (
+                    missed.astype(jnp.int32)
+                    + 2 * m_prim.astype(jnp.int32)
+                    + 4 * (alive_f > 0.5).astype(jnp.int32)
+                    + 8 * (allow_f > 0.5).astype(jnp.int32)
+                )
                 return
 
         if grad_mode:
@@ -1557,9 +1581,14 @@ def make_kernel(n_planar, n_sphere, n_sph_seg, n_vol, n_lights, has_checker,
                         # the miss direction (a lane lits exactly once,
                         # so the per-RAY rows are valid at its lit
                         # bounce; litf gates every other bounce).
-                        (eref,) = env_refs
-                        mc = [eref[c] + zero for c in range(3)]
-                        l_d_sky = [litf * eref[3 + c] for c in range(3)]
+                        if rev_only:
+                            mc = [miss_col[c] for c in range(3)]
+                            l_d_sky = [litf * lmd_in[c] for c in range(3)]
+                        else:
+                            (eref,) = env_refs
+                            mc = [eref[c] + zero for c in range(3)]
+                            l_d_sky = [litf * eref[3 + c]
+                                       for c in range(3)]
                     else:
                         mc = [zero + np.float32(miss_cfg[1 + c])
                               for c in range(3)]
@@ -2023,10 +2052,12 @@ def _call_grad_fwd(pt, st, sb, vt, lt, seed, o, d, tm, stream, *,
                    block_rows=BLOCK_ROWS, sph_seg=None, pathwise=False,
                    n_mat=0, has_noise=False):
     """TWO-PHASE pass A: gradient forward with the per-bounce stash
-    written to HBM.  Returns (rad rows x3, mc rows x3, stash_f
-    [D, S, rows, 128] f32, stash_i [D, 3, rows, 128] i32).  The rad
-    rows ARE the framebuffer contribution (same forward code as the
-    fused kernel), so callers skip the separate forward render."""
+    written to HBM.  Returns (rad x3 flat, mc rows x3 padded, m_dir x3
+    flat, m_tp x3 flat, mfl flat i32, stash_f [D, S, rows, 128] f32,
+    stash_i [D, 3, rows, 128] i32).  The rad rows ARE the framebuffer
+    contribution (same forward code as the fused kernel; env scenes
+    add the miss term XLA-side from the miss records), so callers skip
+    the separate forward render."""
     oc = [o.x, o.y, o.z]
     dc = [d.x, d.y, d.z]
     r = oc[0].shape[0]
@@ -2060,8 +2091,9 @@ def _call_grad_fwd(pt, st, sb, vt, lt, seed, o, d, tm, stream, *,
                     n_mat=n_mat, has_noise=has_noise, phase="fwd"),
         grid=grid,
         in_specs=[smem] * 7 + [ray_spec] * 8,
-        out_specs=[out_spec] * 6 + [sf_spec, si_spec],
-        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 6
+        out_specs=[out_spec] * 13 + [sf_spec, si_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 12
+        + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)]
         + [jax.ShapeDtypeStruct((max_depth, n_srows, rows, LANES),
                                 jnp.float32),
            jax.ShapeDtypeStruct((max_depth, 3, rows, LANES), jnp.int32)],
@@ -2071,8 +2103,15 @@ def _call_grad_fwd(pt, st, sb, vt, lt, seed, o, d, tm, stream, *,
         jnp.asarray([seed], jnp.uint32),
         pt, st, sb, vt, lt, *rays,
     )
-    rad = [x.reshape(-1)[:r] for x in outs[:3]]
-    return rad, outs[3:6], outs[6], outs[7]
+
+    def flat(x):
+        return x.reshape(-1)[:r]
+
+    rad = [flat(x) for x in outs[:3]]
+    mdir = [flat(x) for x in outs[6:9]]
+    mtp = [flat(x) for x in outs[9:12]]
+    return (rad, outs[3:6], mdir, mtp, flat(outs[12]),
+            outs[13], outs[14])
 
 
 @functools.partial(
@@ -2084,13 +2123,14 @@ def _call_grad_fwd(pt, st, sb, vt, lt, seed, o, d, tm, stream, *,
     donate_argnames=("stash_f", "stash_i", "mc"),
 )
 def _call_grad_rev(pt, st, sb, vt, lt, seed, stream, gx, gy, gz,
-                   mc, stash_f, stash_i, *,
+                   mc, stash_f, stash_i, lmd=None, *,
                    n_planar, n_sphere, n_sph_seg, n_vol, n_lights,
                    has_checker, max_depth, n_tex, miss_cfg,
                    block_rows=BLOCK_ROWS, sph_seg=None, pathwise=False,
                    n_mat=0, has_noise=False):
     """TWO-PHASE pass B: the reverse sweep alone against the pass-A
-    stash (donated — freed after this chunk).  Returns the same grads
+    stash (donated — freed after this chunk).  ``lmd``: λ_mdir rows
+    (env "stream" scenes; zeros otherwise).  Returns the same grads
     layout as _call_grad."""
     r = stream.shape[0]
     block = block_rows * LANES
@@ -2125,7 +2165,7 @@ def _call_grad_rev(pt, st, sb, vt, lt, seed, stream, gx, gy, gz,
                     miss_cfg=miss_cfg, sph_seg=sph_seg, pathwise=pathwise,
                     n_mat=n_mat, has_noise=has_noise, phase="rev"),
         grid=grid,
-        in_specs=[smem] * 7 + [ray_spec] * 7 + [sf_spec, si_spec],
+        in_specs=[smem] * 7 + [ray_spec] * 10 + [sf_spec, si_spec],
         out_specs=[gout_spec],
         out_shape=[jax.ShapeDtypeStruct((n_blocks * 8, LANES),
                                         jnp.float32)],
@@ -2138,7 +2178,10 @@ def _call_grad_rev(pt, st, sb, vt, lt, seed, stream, gx, gy, gz,
         jnp.asarray([seed], jnp.uint32),
         pt, st, sb, vt, lt,
         prep(stream, jnp.uint32), prep(gx), prep(gy), prep(gz),
-        mc[0], mc[1], mc[2], stash_f, stash_i,
+        *[a if a.ndim == 2 else prep(a) for a in mc],
+        *([jnp.zeros((rows, LANES), jnp.float32)] * 3 if lmd is None
+          else [a if a.ndim == 2 else prep(a) for a in lmd]),
+        stash_f, stash_i,
     )
     gsum = outs[0].reshape(n_blocks, 8 * LANES).sum(axis=0)
     grads = gsum[: 9 * n_tex].reshape(n_tex, 3, 3)
@@ -2171,42 +2214,109 @@ def _grad_statics(scene, cam, pathwise):
 
 
 def grad_two_phase_ok(scene, max_depth: int) -> bool:
-    """Two-phase (stash-to-HBM) eligibility: a non-env kernel-tier
-    scene (env scenes need the miss-record prepass + streamed rows —
-    their fwd is already shared, so two-phase buys less; not wired)."""
-    return scene.env is None and (
-        grad_applicable(scene, max_depth)
-        or grad_pathwise_applicable(scene, max_depth))
+    """Two-phase (stash-to-HBM) eligibility: kernel-tier scenes,
+    including miss-only env (the env term is applied XLA-side from
+    pass-A miss records).  Env + NEE lights stays on the fused path
+    (per-bounce hdri rows in / eout rows out)."""
+    if scene.env is not None and scene.n_lights > 0:
+        return False
+    return (grad_applicable(scene, max_depth)
+            or grad_pathwise_applicable(scene, max_depth))
 
 
 def grad_fwd_stash(scene, cam, o, d, tm, stream, seed, pathwise=False):
     """TWO-PHASE pass A for one chunk: returns (rad V3 — the chunk's
     framebuffer rows, carry tuple for grad_rev_stash).  The forward is
     the SAME code as the fused gradient kernel's forward, so fb is
-    bit-identical to the plain render and pass B needs no re-trace."""
+    bit-identical to the plain render and pass B needs no re-trace.
+    Env scenes: the kernel emits env-less radiance + miss records; the
+    env miss term (bilinear fetch) is applied here and the footprint
+    columns are carried for pass B (one env fetch for the whole
+    fwd+bwd, vs three traversals + two fetches on the fused path)."""
     from ..core.vec3 import V3
+    from ..lights import hdri as hdri_mod
 
     tables, statics, miss_cfg = _grad_statics(scene, cam, pathwise)
     sg = jax.lax.stop_gradient
-    rad, mc, sf, si = _call_grad_fwd(
+    if scene.env is not None:
+        assert scene.n_lights == 0
+        miss_cfg = ("stream",)
+    rad, mc, mdir, mtp, mfl, sf, si = _call_grad_fwd(
         *tables, seed, sg(o), sg(d), sg(tm), stream,
         miss_cfg=miss_cfg, **statics)
-    return V3(*rad), (mc, sf, si)
+    rad = V3(*rad)
+    if scene.env is None:
+        return rad, (mc, sf, si)
+    missed = (mfl & 1) > 0
+    m_prim = (mfl & 2) > 0
+    env_sg = sg(scene.env)
+    safe = V3(*(jnp.where(missed, v, w_) for v, w_ in
+                ((mdir[0], 0.0), (mdir[1], 0.0), (mdir[2], 1.0))))
+    fx, fy, base = hdri_mod.miss_footprint(env_sg, safe)
+    q = hdri_mod.quad_table(sg(scene.env.data))[base]
+    qcols = [q[:, j] for j in range(12)]  # dense [R] columns (rule 1)
+    mc_v = hdri_mod.blend_quad(qcols, fx, fy)
+    if cam.phantom_hdri:
+        mc_v = V3.select(m_prim, V3.zeros(mc_v.x.shape), mc_v)
+    zero_v = V3.zeros(mc_v.x.shape)
+    mc_v = V3.select(missed, mc_v, zero_v)
+    rad = rad + V3(*mtp) * mc_v
+    return rad, (qcols, mdir, mtp, mfl, sf, si)
 
 
 def grad_rev_stash(scene, cam, stream, seed, g3, carry, pathwise=False):
     """TWO-PHASE pass B for one chunk: reverse sweep against the pass-A
-    stash (donated).  Returns the same grads dict as grad_megakernel."""
+    stash (donated).  Env scenes: mc / λ_mdir / texel grads computed
+    here from the carried footprint (the quad columns are CONSTANT
+    w.r.t. direction — gather indices have zero derivative — so
+    jax.grad through blend_quad equals the fused path's λ_mdir
+    exactly).  Returns the same grads dict as grad_megakernel."""
+    from ..core.vec3 import V3
+    from ..lights import hdri as hdri_mod
+
     tables, statics, miss_cfg = _grad_statics(scene, cam, pathwise)
-    mc, sf, si = carry
+    sg = jax.lax.stop_gradient
+    env_grad = None
+    lmd = None
+    if scene.env is None:
+        mc, sf, si = carry
+    else:
+        miss_cfg = ("stream",)
+        qcols, mdir, mtp, mfl, sf, si = carry
+        missed = (mfl & 1) > 0
+        m_prim = (mfl & 2) > 0
+        env_sg = sg(scene.env)
+        safe = tuple(jnp.where(missed, v, w_) for v, w_ in
+                     ((mdir[0], 0.0), (mdir[1], 0.0), (mdir[2], 1.0)))
+        lam3 = [jnp.where(missed, g3[c] * mtp[c], 0.0) for c in range(3)]
+        if cam.phantom_hdri:
+            lam3 = [jnp.where(m_prim, 0.0, v) for v in lam3]
+        lam = V3(*lam3)
+        env_grad = hdri_mod.miss_texel_grad(env_sg, V3(*safe), lam)
+
+        def dir_loss(d3):
+            fx, fy, _ = hdri_mod.miss_footprint(env_sg, V3(*d3))
+            col = hdri_mod.blend_quad(qcols, fx, fy)
+            return (jnp.sum(lam.x * col.x) + jnp.sum(lam.y * col.y)
+                    + jnp.sum(lam.z * col.z))
+
+        lmd = list(jax.grad(dir_loss)(safe))
+        fx, fy, _ = hdri_mod.miss_footprint(env_sg, V3(*safe))
+        mc_v = hdri_mod.blend_quad(qcols, fx, fy)
+        if cam.phantom_hdri:
+            mc_v = V3.select(m_prim, V3.zeros(mc_v.x.shape), mc_v)
+        mc_v = V3.select(missed, mc_v, V3.zeros(mc_v.x.shape))
+        mc = [mc_v.x, mc_v.y, mc_v.z]
     grads, gfuzz, gior = _call_grad_rev(
-        *tables, seed, stream, g3[0], g3[1], g3[2], mc, sf, si,
+        *tables, seed, stream, g3[0], g3[1], g3[2], mc, sf, si, lmd,
         miss_cfg=miss_cfg, **statics)
     gdict = dict(color=grads[:, 0], even_color=grads[:, 1],
                  odd_color=grads[:, 2])
     if pathwise:
         gdict["fuzz"] = gfuzz
         gdict["ior"] = gior
+    if env_grad is not None:
+        gdict["env_data"] = env_grad
     return gdict
 
 

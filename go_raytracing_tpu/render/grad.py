@@ -519,8 +519,11 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         if two_phase:
             # every chunk's stash is resident between the passes; jobs
             # over budget stash a PREFIX of chunks and run the rest
-            # fused (each stashed chunk still saves one forward trace)
-            chunk_bytes = kchunk * max_depth * n_srows * 4
+            # fused (each stashed chunk still saves one forward trace).
+            # env chunks also carry the miss footprint (12 quad columns
+            # + miss records) between the passes.
+            carry_rows = 19 if scene.env is not None else 3
+            chunk_bytes = kchunk * (max_depth * n_srows + carry_rows) * 4
             budget = int(float(os.environ.get("GRT_STASH_BUDGET", 9e9)))
             n_stash = min(int(budget // max(chunk_bytes, 1)),
                           -(-total // kchunk))

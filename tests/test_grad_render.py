@@ -141,18 +141,25 @@ def test_render_grad_two_phase_matches_fused():
 
     from go_raytracing_tpu.ops import pallas_wavefront as mega
 
-    def build(glossy):
+    def build(kind):
         b = grt.SceneBuilder()
         b.quad((-5, 0, -5), (10, 0, 0), (0, 0, 10),
                b.lambertian(b.checker(0.8, (0.7, 0.3, 0.2), (0.2, 0.3, 0.7))))
-        if glossy:
+        if kind in ("glossy", "env"):
             b.sphere((0, 1, 0), 1.0, b.metal((0.8, 0.7, 0.6), 0.3))
             b.sphere((-2, 0.7, 1), 0.7, b.dielectric(1.5))
         else:
             b.sphere((0, 1, 0), 1.0, b.lambertian((0.2, 0.6, 0.3)))
-        light = b.diffuse_light((5, 5, 5))
-        q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), light)
-        b.add_light(q)
+        if kind == "env":
+            # miss-only env (no NEE lights): the round-5 env two-phase
+            rng = np.random.default_rng(7)
+            env = rng.uniform(0.05, 1.0, size=(8, 16, 3)).astype(np.float32)
+            env[2, 4] = (9.0, 8.0, 7.0)
+            b.set_environment(env)
+        else:
+            light = b.diffuse_light((5, 5, 5))
+            q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), light)
+            b.add_light(q)
         return b.build()
 
     cam = Camera(
@@ -163,14 +170,18 @@ def test_render_grad_two_phase_matches_fused():
     old = mega.INTERPRET, mega.BLOCK_ROWS
     mega.INTERPRET, mega.BLOCK_ROWS = True, 8
     try:
-        for glossy in (False, True):
-            scene = build(glossy)
-            assert mega.grad_two_phase_ok(scene, cam.max_depth)
-            target = np.asarray(grt.render(scene, cam, seed=9)) / 4 * 0.8
-            loss2, g2 = render_grad(scene, cam, target, spp=4, seed=0)
+        for kind in ("diffuse", "glossy", "env"):
+            scene = build(kind)
+            camk = cam
+            if kind == "env":
+                camk = dataclasses.replace(cam, use_sky_gradient=False,
+                                           phantom_hdri=True)
+            assert mega.grad_two_phase_ok(scene, camk.max_depth)
+            target = np.asarray(grt.render(scene, camk, seed=9)) / 4 * 0.8
+            loss2, g2 = render_grad(scene, camk, target, spp=4, seed=0)
             os.environ["GRT_NO_TWOPHASE"] = "1"
             try:
-                loss1, g1 = render_grad(scene, cam, target, spp=4, seed=0)
+                loss1, g1 = render_grad(scene, camk, target, spp=4, seed=0)
             finally:
                 del os.environ["GRT_NO_TWOPHASE"]
             np.testing.assert_allclose(float(loss2), float(loss1),
@@ -179,6 +190,6 @@ def test_render_grad_two_phase_matches_fused():
             for k in g1:
                 np.testing.assert_allclose(
                     np.asarray(g2[k]), np.asarray(g1[k]), rtol=1e-5,
-                    atol=1e-9, err_msg=f"glossy={glossy}: {k}")
+                    atol=1e-9, err_msg=f"{kind}: {k}")
     finally:
         mega.INTERPRET, mega.BLOCK_ROWS = old
