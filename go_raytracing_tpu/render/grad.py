@@ -174,11 +174,9 @@ _grad_kernel_chunk = partial(jax.jit, static_argnames=(
     "image"))(_grad_kernel_body)
 
 
-@partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"))
-def _twophase_fwd_chunk(scene: Scene, cam: Camera, ray_start, seed, *,
-                        spp: int, chunk: int, max_depth: int,
-                        pathwise: bool):
+def _twophase_fwd_body(scene: Scene, cam: Camera, ray_start, seed, *,
+                       spp: int, chunk: int, max_depth: int,
+                       pathwise: bool):
     """TWO-PHASE pass A for one chunk (round 5): the gradient forward
     traces once, writing the per-bounce stash to HBM; its radiance IS
     the chunk's framebuffer contribution (bit-identical forward code),
@@ -198,12 +196,77 @@ def _twophase_fwd_chunk(scene: Scene, cam: Camera, ray_start, seed, *,
     return rows.reshape(chunk // n_virt, n_virt, 3).sum(axis=0), carry
 
 
+_twophase_fwd_chunk = partial(jax.jit, static_argnames=(
+    "cam", "spp", "chunk", "max_depth", "pathwise"))(_twophase_fwd_body)
+
+
+def _twophase_carry_specs(scene: Scene):
+    """shard_map PartitionSpecs for the pass-A carry pytree (rays axis
+    sharded): non-env = (mc x3 [rows,128], stash_f, stash_i); env =
+    (qcols x12 [r], mdir x3, mtp x3, mfl, stash_f, stash_i)."""
+    row2 = P(RAY_AXIS, None)
+    stash4 = P(None, None, RAY_AXIS, None)
+    if scene.env is None:
+        return ((row2,) * 3, stash4, stash4)
+    r1 = P(RAY_AXIS)
+    return ([r1] * 12, [r1] * 3, [r1] * 3, r1, stash4, stash4)
+
+
 @partial(jax.jit,
-         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"),
+         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise",
+                          "mesh"))
+def _twophase_fwd_chunk_sharded(scene: Scene, cam: Camera, ray_start,
+                                seed, *, mesh: Mesh, spp: int, chunk: int,
+                                max_depth: int, pathwise: bool):
+    """Mesh-parallel pass A: per-device gradient forward + stash (the
+    stash stays sharded on its device), one psum of the fb rows."""
+    n_dev = mesh.devices.size
+    per = chunk // n_dev
+    starts = ray_start + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(RAY_AXIS), P()),
+             out_specs=(P(), _twophase_carry_specs(scene)))
+    def run(scene_rep, start, seed_rep):
+        vs, carry = _twophase_fwd_body(
+            scene_rep, cam, start[0], seed_rep, spp=spp, chunk=per,
+            max_depth=max_depth, pathwise=pathwise)
+        return jax.lax.psum(vs, RAY_AXIS), carry
+
+    return run(scene, starts, seed)
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise",
+                          "mesh"),
          donate_argnames=("carry",))
-def _twophase_rev_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
-                        seed, carry, *, spp: int, chunk: int,
-                        max_depth: int, pathwise: bool):
+def _twophase_rev_chunk_sharded(scene: Scene, cam: Camera, g_virt,
+                                ray_start, seed, carry, *, mesh: Mesh,
+                                spp: int, chunk: int, max_depth: int,
+                                pathwise: bool):
+    """Mesh-parallel pass B: per-device reverse against the sharded
+    stash, one psum of the grads dict."""
+    n_dev = mesh.devices.size
+    per = chunk // n_dev
+    starts = ray_start + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(), P(RAY_AXIS), P(),
+                       _twophase_carry_specs(scene)),
+             out_specs=P())
+    def run(scene_rep, g_virt_rep, start, seed_rep, carry_l):
+        g = _twophase_rev_body(scene_rep, cam, g_virt_rep, start[0],
+                               seed_rep, carry_l, spp=spp, chunk=per,
+                               max_depth=max_depth, pathwise=pathwise)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, RAY_AXIS), g)
+
+    return run(scene, g_virt, starts, seed, carry)
+
+
+def _twophase_rev_body(scene: Scene, cam: Camera, g_virt, ray_start,
+                       seed, carry, *, spp: int, chunk: int,
+                       max_depth: int, pathwise: bool):
     """TWO-PHASE pass B for one chunk: reverse sweep against the
     donated pass-A stash; no re-trace, no sweeps."""
     from ..ops import pallas_wavefront as mega
@@ -220,6 +283,12 @@ def _twophase_rev_chunk(scene: Scene, cam: Camera, g_virt, ray_start,
     )
     return mega.grad_rev_stash(scene, cam2, stream, seed, g3, carry,
                                pathwise=pathwise)
+
+
+_twophase_rev_chunk = partial(
+    jax.jit,
+    static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"),
+    donate_argnames=("carry",))(_twophase_rev_body)
 
 
 @partial(jax.jit,
@@ -273,6 +342,30 @@ def _fb_rows_body(scene: Scene, cam: Camera, ray_start, seed, *, spp: int,
 
 _fb_rows_chunk = partial(jax.jit, static_argnames=(
     "cam", "spp", "chunk", "max_depth", "mega_mode"))(_fb_rows_body)
+
+
+@partial(jax.jit,
+         static_argnames=("cam", "spp", "chunk", "max_depth", "mega_mode",
+                          "mesh"))
+def _fb_vs_chunk_sharded(scene: Scene, cam: Camera, ray_start, seed, *,
+                         mesh: Mesh, spp: int, chunk: int, max_depth: int,
+                         mega_mode):
+    """Mesh-parallel fast-forward chunk returning the psum'd [n_virt, 3]
+    partial rows (no accumulator scatter — the two-phase fb assembly
+    scatters once at the end)."""
+    n_dev = mesh.devices.size
+    per = chunk // n_dev
+    starts = ray_start + jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(RAY_AXIS), P()), out_specs=P())
+    def run(scene_rep, start, seed_rep):
+        vs = _fb_rows_body(scene_rep, cam, start[0], seed_rep, spp=spp,
+                           chunk=per, max_depth=max_depth,
+                           mega_mode=mega_mode)
+        return jax.lax.psum(vs, RAY_AXIS)
+
+    return run(scene, starts, seed)
 
 
 @partial(jax.jit,
@@ -490,7 +583,7 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         # fitting HBM alongside the working set.
         n_srows = ((20 if scene.has_noise else 19) if use_pathwise
                    else 12) + 3
-        two_phase = (mesh is None and not use_image
+        two_phase = (not use_image
                      and os.environ.get("GRT_NO_TWOPHASE") != "1")
         if two_phase:
             from ..ops import pallas_wavefront as mega
@@ -534,19 +627,34 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
             pos = 0
             while pos < total:
                 if len(carries) < n_stash:
-                    vs, carry = _twophase_fwd_chunk(
-                        scene, cam, jnp.uint32(pos), seed, spp=spp,
-                        chunk=kchunk, max_depth=max_depth,
-                        pathwise=use_pathwise)
+                    if mesh is not None:
+                        vs, carry = _twophase_fwd_chunk_sharded(
+                            scene, cam, jnp.uint32(pos), seed, mesh=mesh,
+                            spp=spp, chunk=kchunk, max_depth=max_depth,
+                            pathwise=use_pathwise)
+                    else:
+                        vs, carry = _twophase_fwd_chunk(
+                            scene, cam, jnp.uint32(pos), seed, spp=spp,
+                            chunk=kchunk, max_depth=max_depth,
+                            pathwise=use_pathwise)
                 else:
                     # over budget: plain fast forward, fused fwd+bwd
                     # in pass B (the pre-round-5 flow, per chunk)
                     cam_d = dataclasses.replace(cam, max_depth=max_depth)
-                    vs = _fb_rows_chunk(
-                        scene, cam, jnp.uint32(pos), seed, spp=spp,
-                        chunk=kchunk, max_depth=max_depth,
-                        mega_mode=wavefront.choose_mega_mode(
-                            scene, cam_d, kchunk, False))
+                    mm = wavefront.choose_mega_mode(
+                        scene, cam_d,
+                        kchunk // (mesh.devices.size if mesh else 1),
+                        False)
+                    if mesh is not None:
+                        vs = _fb_vs_chunk_sharded(
+                            scene, cam, jnp.uint32(pos), seed, mesh=mesh,
+                            spp=spp, chunk=kchunk, max_depth=max_depth,
+                            mega_mode=mm)
+                    else:
+                        vs = _fb_rows_chunk(
+                            scene, cam, jnp.uint32(pos), seed, spp=spp,
+                            chunk=kchunk, max_depth=max_depth,
+                            mega_mode=mm)
                     carry = None
                 flat_vs = vs if flat_vs is None else flat_vs + vs
                 carries.append(carry)
@@ -575,10 +683,23 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
             pos = 0
             for i, carry in enumerate(carries):
                 if carry is None:  # over-budget chunk: fused fwd+bwd
-                    g = _grad_kernel_chunk(
-                        scene, cam, g_virt, jnp.uint32(pos), seed,
-                        spp=spp, chunk=kchunk, max_depth=max_depth,
-                        pathwise=use_pathwise, image=False)
+                    if mesh is not None:
+                        g = _grad_kernel_chunk_sharded(
+                            scene, cam, g_virt, jnp.uint32(pos), seed,
+                            mesh=mesh, spp=spp, chunk=kchunk,
+                            max_depth=max_depth, pathwise=use_pathwise,
+                            image=False)
+                    else:
+                        g = _grad_kernel_chunk(
+                            scene, cam, g_virt, jnp.uint32(pos), seed,
+                            spp=spp, chunk=kchunk, max_depth=max_depth,
+                            pathwise=use_pathwise, image=False)
+                elif mesh is not None:
+                    g = _twophase_rev_chunk_sharded(
+                        scene, cam, g_virt, jnp.uint32(pos), seed, carry,
+                        mesh=mesh, spp=spp, chunk=kchunk,
+                        max_depth=max_depth, pathwise=use_pathwise)
+                    carries[i] = None  # stash freed (donated)
                 else:
                     g = _twophase_rev_chunk(
                         scene, cam, g_virt, jnp.uint32(pos), seed, carry,

@@ -193,3 +193,46 @@ def test_render_grad_two_phase_matches_fused():
                     atol=1e-9, err_msg=f"{kind}: {k}")
     finally:
         mega.INTERPRET, mega.BLOCK_ROWS = old
+
+
+def test_render_grad_two_phase_hybrid_prefix():
+    """Over-budget jobs stash a PREFIX of chunks and run the rest
+    fused: with a budget of exactly one chunk's stash, a 2-chunk job
+    must still produce grads identical to the all-fused path."""
+    import os
+
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+
+    b = grt.SceneBuilder()
+    b.quad((-5, 0, -5), (10, 0, 0), (0, 0, 10),
+           b.lambertian((0.6, 0.5, 0.4)))
+    b.sphere((0, 1, 0), 1.0, b.lambertian((0.2, 0.6, 0.3)))
+    q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), b.diffuse_light((5, 5, 5)))
+    b.add_light(q)
+    scene = b.build()
+    cam = Camera(image_width=8, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=3, look_from=(0, 2, 6), look_at=(0, 1, 0),
+                 vfov=40.0, background=(0.1, 0.2, 0.3))
+    target = np.asarray(grt.render(scene, cam, seed=9)) / 4 * 0.8
+    old = mega.INTERPRET, mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    # chunk=128 -> 2 chunks of 8*8*4=256 rays; budget covers exactly one
+    # chunk's stash (128 rays * depth 3 * 15 rows * 4 B = 23 KB)
+    os.environ["GRT_STASH_BUDGET"] = str(128 * 3 * 15 * 4 + 1)
+    try:
+        loss2, g2 = render_grad(scene, cam, target, spp=4, seed=0,
+                                chunk=128)
+        os.environ["GRT_NO_TWOPHASE"] = "1"
+        try:
+            loss1, g1 = render_grad(scene, cam, target, spp=4, seed=0,
+                                    chunk=128)
+        finally:
+            del os.environ["GRT_NO_TWOPHASE"]
+        np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-6)
+        for k in g1:
+            np.testing.assert_allclose(
+                np.asarray(g2[k]), np.asarray(g1[k]), rtol=1e-5,
+                atol=1e-9, err_msg=k)
+    finally:
+        del os.environ["GRT_STASH_BUDGET"]
+        mega.INTERPRET, mega.BLOCK_ROWS = old
