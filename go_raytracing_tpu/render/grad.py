@@ -176,7 +176,7 @@ _grad_kernel_chunk = partial(jax.jit, static_argnames=(
 
 def _twophase_fwd_body(scene: Scene, cam: Camera, ray_start, seed, *,
                        spp: int, chunk: int, max_depth: int,
-                       pathwise: bool):
+                       pathwise: bool, image: bool = False):
     """TWO-PHASE pass A for one chunk (round 5): the gradient forward
     traces once, writing the per-bounce stash to HBM; its radiance IS
     the chunk's framebuffer contribution (bit-identical forward code),
@@ -184,11 +184,25 @@ def _twophase_fwd_body(scene: Scene, cam: Camera, ray_start, seed, *,
     fb rows, opaque carry for _twophase_rev_chunk)."""
     from ..ops import pallas_wavefront as mega
 
+    from ..core.vec3 import V3
+
     cam2, o, d, tm, stream, pixel, valid = _chunk_rays(
         scene, cam, ray_start, seed, spp=spp, chunk=chunk,
         max_depth=max_depth)
-    rad, carry = mega.grad_fwd_stash(scene, cam2, o, d, tm, stream, seed,
-                                     pathwise=pathwise)
+    if image:
+        # IMAGE-PREFACTOR two-phase: the WHITE scene traces with stash;
+        # fb = A (x) W exactly (see _grad_image_tier); A / W / the
+        # primary texel ids carry to pass B for the atlas cotangent
+        white = wavefront._strip_image(scene)
+        rad_w, carry_w = mega.grad_fwd_stash(
+            white, cam2, o, d, tm, stream, seed, pathwise=False)
+        A, texel, h_s = wavefront._primary_image_records(scene, o, d, tm)
+        rad = A * rad_w
+        carry = (carry_w, [A.x, A.y, A.z],
+                 [rad_w.x, rad_w.y, rad_w.z], texel, h_s)
+    else:
+        rad, carry = mega.grad_fwd_stash(scene, cam2, o, d, tm, stream,
+                                         seed, pathwise=pathwise)
     rows = jnp.where(valid[:, None], rad.rows(), 0.0)
     n_virt = rmod.ray_layout(cam.image_width, cam.image_height,
                              rmod.scene_tiled(scene))[2]
@@ -197,7 +211,8 @@ def _twophase_fwd_body(scene: Scene, cam: Camera, ray_start, seed, *,
 
 
 _twophase_fwd_chunk = partial(jax.jit, static_argnames=(
-    "cam", "spp", "chunk", "max_depth", "pathwise"))(_twophase_fwd_body)
+    "cam", "spp", "chunk", "max_depth", "pathwise",
+    "image"))(_twophase_fwd_body)
 
 
 def _twophase_carry_specs(scene: Scene):
@@ -266,7 +281,8 @@ def _twophase_rev_chunk_sharded(scene: Scene, cam: Camera, g_virt,
 
 def _twophase_rev_body(scene: Scene, cam: Camera, g_virt, ray_start,
                        seed, carry, *, spp: int, chunk: int,
-                       max_depth: int, pathwise: bool):
+                       max_depth: int, pathwise: bool,
+                       image: bool = False):
     """TWO-PHASE pass B for one chunk: reverse sweep against the
     donated pass-A stash; no re-trace, no sweeps."""
     from ..ops import pallas_wavefront as mega
@@ -281,13 +297,31 @@ def _twophase_rev_body(scene: Scene, cam: Camera, g_virt, ray_start,
                                           (reps, n_virt)).reshape(chunk), 0.0)
         for c in range(3)
     )
+    if image:
+        from ..core.segsum import cols_segment_sum
+        from ..materials import textures as tex
+
+        carry_w, ac, wc, texel, h_s = carry
+        gW = tuple(g3[c] * ac[c] for c in range(3))
+        white = wavefront._strip_image(scene)
+        grads = dict(mega.grad_rev_stash(white, cam2, stream, seed, gW,
+                                         carry_w, pathwise=False))
+        is_img = scene.textures.kind == tex.TEX_IMAGE
+        grads["color"] = jnp.where(is_img[:, None], 0.0, grads["color"])
+        n_texels = int(np.prod(scene.textures.atlas.shape[:3]))
+        cot_cols = [jnp.where(h_s, g3[c] * wc[c], 0.0) for c in range(3)]
+        ids2 = jnp.where(h_s, texel, n_texels)
+        grads["atlas"] = cols_segment_sum(
+            ids2, cot_cols, n_texels).reshape(scene.textures.atlas.shape)
+        return grads
     return mega.grad_rev_stash(scene, cam2, stream, seed, g3, carry,
                                pathwise=pathwise)
 
 
 _twophase_rev_chunk = partial(
     jax.jit,
-    static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise"),
+    static_argnames=("cam", "spp", "chunk", "max_depth", "pathwise",
+                     "image"),
     donate_argnames=("carry",))(_twophase_rev_body)
 
 
@@ -583,17 +617,23 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
         # fitting HBM alongside the working set.
         n_srows = ((20 if scene.has_noise else 19) if use_pathwise
                    else 12) + 3
-        two_phase = (not use_image
-                     and os.environ.get("GRT_NO_TWOPHASE") != "1")
-        if two_phase:
-            from ..ops import pallas_wavefront as mega
-            two_phase = mega.grad_two_phase_ok(scene, max_depth)
-        # honor an explicit caller chunk (A/B experiments); otherwise 2x
-        # the forward pick — the kernel path has no scan carries, and
-        # fewer launches measured +5% on the cornell headline (41.8 ->
-        # 44.0 Mrays/s at 2 chunks vs 5).  NOT for env scenes: their
-        # wall is texel-scatter-bound (chunk-size-neutral) and the
-        # ragged 8.4M+0.7M split measured 5.4 -> 4.4 Mrays/s.
+        if use_image:
+            # image tier: the WHITE scene is what stashes (pass A also
+            # carries A / W / texel records); single-device only
+            two_phase = (mesh is None
+                         and os.environ.get("GRT_NO_TWOPHASE") != "1"
+                         and mega.grad_two_phase_ok(
+                             wavefront._strip_image(scene), max_depth))
+        else:
+            two_phase = (os.environ.get("GRT_NO_TWOPHASE") != "1"
+                         and mega.grad_two_phase_ok(scene, max_depth))
+        # honor an explicit caller chunk (A/B experiments).  FUSED
+        # (non-two-phase) non-env scenes take 2x the forward pick —
+        # fewer launches measured +5% on the round-4 fused headline
+        # (41.8 -> 44.0 Mrays/s at 2 chunks vs 5); two-phase scenes
+        # keep pick-sized chunks (5-chunk cornell measured 78.4 vs
+        # 75.4 for one 20M chunk) except env, which grows to the stash
+        # budget below.
         pick = rmod.pick_chunk_size(scene)
         if scene.env is None and not two_phase:
             pick = 2 * pick
@@ -615,7 +655,8 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
             # fused (each stashed chunk still saves one forward trace).
             # env chunks also carry the miss footprint (12 quad columns
             # + miss records) between the passes.
-            carry_rows = 19 if scene.env is not None else 3
+            carry_rows = (11 if use_image
+                          else 19 if scene.env is not None else 3)
             per_ray = (max_depth * n_srows + carry_rows) * 4
             budget = int(float(os.environ.get("GRT_STASH_BUDGET", 9e9)))
             if (explicit_chunk is None and mesh is None
@@ -650,7 +691,7 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
                         vs, carry = _twophase_fwd_chunk(
                             scene, cam, jnp.uint32(pos), seed, spp=spp,
                             chunk=kchunk, max_depth=max_depth,
-                            pathwise=use_pathwise)
+                            pathwise=use_pathwise, image=use_image)
                 else:
                     # over budget: plain fast forward, fused fwd+bwd
                     # in pass B (the pre-round-5 flow, per chunk)
@@ -707,7 +748,7 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
                         g = _grad_kernel_chunk(
                             scene, cam, g_virt, jnp.uint32(pos), seed,
                             spp=spp, chunk=kchunk, max_depth=max_depth,
-                            pathwise=use_pathwise, image=False)
+                            pathwise=use_pathwise, image=use_image)
                 elif mesh is not None:
                     g = _twophase_rev_chunk_sharded(
                         scene, cam, g_virt, jnp.uint32(pos), seed, carry,
@@ -718,7 +759,7 @@ def render_grad(scene: Scene, cam: Camera, target, *, spp: Optional[int] = None,
                     g = _twophase_rev_chunk(
                         scene, cam, g_virt, jnp.uint32(pos), seed, carry,
                         spp=spp, chunk=kchunk, max_depth=max_depth,
-                        pathwise=use_pathwise)
+                        pathwise=use_pathwise, image=use_image)
                     carries[i] = None  # stash freed (donated)
                 for k in g:
                     grads[k] = grads[k] + g[k]

@@ -236,3 +236,46 @@ def test_render_grad_two_phase_hybrid_prefix():
     finally:
         del os.environ["GRT_STASH_BUDGET"]
         mega.INTERPRET, mega.BLOCK_ROWS = old
+
+
+def test_render_grad_two_phase_tiled_layout():
+    """Two-phase on a TILED ray layout (>= 64 spheres routes scenes
+    through 32x32 bucket tiling): the [n_virt, 3] fb rows must scatter
+    through the virtual-pixel map identically to the fused path."""
+    import os
+
+    from go_raytracing_tpu.ops import pallas_wavefront as mega
+    from go_raytracing_tpu.render import renderer as rmod
+
+    b = grt.SceneBuilder()
+    white = b.lambertian((0.6, 0.55, 0.5))
+    b.quad((-40, 0, -40), (80, 0, 0), (0, 0, 80), white)
+    blue = b.lambertian((0.2, 0.3, 0.7))
+    for i in range(8):
+        for j in range(8):
+            b.sphere((i * 3 - 10, 0.5, j * 3 - 10), 0.5, blue)
+    q = b.quad((-2, 12, -2), (4, 0, 0), (0, 0, 4), b.diffuse_light((7, 7, 7)))
+    b.add_light(q)
+    scene = b.build()
+    assert rmod.scene_tiled(scene), "needs the tiled layout"
+    cam = Camera(image_width=12, aspect_ratio=1.0, samples_per_pixel=2,
+                 max_depth=3, look_from=(0, 8, 20), look_at=(0, 0, 0),
+                 vfov=45.0, background=(0.05, 0.06, 0.08))
+    target = np.asarray(grt.render(scene, cam, seed=9)) / 2 * 0.8
+    old = mega.INTERPRET, mega.BLOCK_ROWS
+    mega.INTERPRET, mega.BLOCK_ROWS = True, 8
+    try:
+        assert mega.grad_two_phase_ok(scene, cam.max_depth)
+        loss2, g2 = render_grad(scene, cam, target, spp=2, seed=0)
+        os.environ["GRT_NO_TWOPHASE"] = "1"
+        try:
+            loss1, g1 = render_grad(scene, cam, target, spp=2, seed=0)
+        finally:
+            del os.environ["GRT_NO_TWOPHASE"]
+        np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-6)
+        for k in g1:
+            np.testing.assert_allclose(
+                np.asarray(g2[k]), np.asarray(g1[k]), rtol=1e-5,
+                atol=1e-9, err_msg=k)
+    finally:
+        mega.INTERPRET, mega.BLOCK_ROWS = old
